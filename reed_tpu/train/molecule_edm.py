@@ -1,0 +1,233 @@
+"""Molecule-domain trainer (EDM path): E(n) equivariant diffusion on QM9 /
+GEOM-Drugs point clouds, conditioned on frozen-encoder representations
+(GeoRCG/REED two-stage scheme).
+
+TPU-native rebuild of molecule/src/self_condition_train_qm9.py +
+molecule/train_test.py:20-168: the epoch loop's CoM removal, optional
+rotation augmentation, rep conditioning and NLL loss all live inside one
+jitted train step; the reference's torch.distributed DDP is replaced by
+batch sharding over the 'data' mesh axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
+from reed_tpu.core.ema import ema_init
+from reed_tpu.core.train_state import TrainState, make_optimizer
+from reed_tpu.core.trainer import jit_train_step, make_train_step
+from reed_tpu.diffusion.edm import EDMConfig, EnVariationalDiffusion
+from reed_tpu.models.egnn import EGNNDynamics, remove_mean_with_mask
+from reed_tpu.parallel import mesh as meshlib
+
+
+@dataclass(frozen=True)
+class MoleculeEDMConfig:
+    num_atom_types: int = 5          # QM9: H,C,N,O,F
+    include_charges: bool = True
+    max_nodes: int = 29              # QM9 max molecule size
+    hidden_nf: int = 256
+    n_layers: int = 9
+    inv_sublayers: int = 1   # reference QM9 recipe (qm9_pcdm_config.yaml)
+    attention: bool = True
+    tanh: bool = True
+    coords_range: float = 15.0
+    normalization_factor: float = 1.0
+    aggregation: str = "sum"
+    rep_nf: Optional[int] = 256      # frozen-encoder rep dim (None = uncond)
+    rep_dropout_prob: float = 0.1
+    context_node_nf: int = 0         # property conditioning dim
+    edm: EDMConfig = EDMConfig()
+    augment_rotation: bool = False
+    batch_size: int = 64
+    optim: OptimConfig = OptimConfig(lr=1e-4, b2=0.999)
+    curriculum: CurriculumConfig = CurriculumConfig(proj_coeff=0.0,
+                                                    diffusion_warmup_steps=0)
+    mesh: MeshConfig = MeshConfig()
+    compute_dtype: str = "float32"
+    seed: int = 0
+
+
+def build_dynamics(cfg: MoleculeEDMConfig) -> EGNNDynamics:
+    in_node_nf = cfg.num_atom_types + int(cfg.include_charges)
+    return EGNNDynamics(
+        in_node_nf=in_node_nf,
+        context_node_nf=cfg.context_node_nf,
+        hidden_nf=cfg.hidden_nf,
+        n_layers=cfg.n_layers,
+        inv_sublayers=cfg.inv_sublayers,
+        attention=cfg.attention,
+        tanh=cfg.tanh,
+        coords_range=cfg.coords_range,
+        normalization_factor=cfg.normalization_factor,
+        aggregation=cfg.aggregation,
+        rep_nf=cfg.rep_nf,
+        rep_dropout_prob=cfg.rep_dropout_prob,
+        dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+
+def build_edm(cfg: MoleculeEDMConfig, model: EGNNDynamics, params=None):
+    edm_cfg = EDMConfig(
+        **{**cfg.edm.__dict__,
+           "in_node_nf": cfg.num_atom_types + int(cfg.include_charges),
+           "include_charges": cfg.include_charges})
+
+    def dynamics_fn(t, z, node_mask, edge_mask, context, rep, rng, train):
+        p = params if params is not None else dynamics_fn.params
+        rngs = {"rep_dropout": rng} if (train and rng is not None) else None
+        return model.apply({"params": p}, t, z, node_mask, edge_mask,
+                           context=context, rep=rep, train=train, rngs=rngs)
+
+    def dynamics_cfg_fn(t, z, node_mask, edge_mask, context, rep):
+        p = params if params is not None else dynamics_fn.params
+        return model.apply({"params": p}, t, z, node_mask, edge_mask,
+                           context, rep, edm_cfg.cfg_scale,
+                           method=EGNNDynamics.forward_with_cfg)
+
+    return EnVariationalDiffusion(edm_cfg, dynamics_fn, dynamics_cfg_fn)
+
+
+def make_loss_fn(model: EGNNDynamics, cfg: MoleculeEDMConfig):
+    edm_cfg = EDMConfig(
+        **{**cfg.edm.__dict__,
+           "in_node_nf": cfg.num_atom_types + int(cfg.include_charges),
+           "include_charges": cfg.include_charges})
+
+    def loss_fn(params, batch, rng, step):
+        del step
+        rng_loss, rng_rot = jax.random.split(rng)
+
+        def dynamics_fn(t, z, node_mask, edge_mask, context, rep, drng, train):
+            rngs = {"rep_dropout": drng} if (train and drng is not None) else None
+            return model.apply({"params": params}, t, z, node_mask, edge_mask,
+                               context=context, rep=rep, train=train,
+                               rngs=rngs)
+
+        edm = EnVariationalDiffusion(edm_cfg, dynamics_fn)
+        x = remove_mean_with_mask(batch["positions"], batch["node_mask"])
+        if cfg.augment_rotation:
+            x = random_rotation(rng_rot, x) * batch["node_mask"]
+        nll, _ = edm.loss(rng_loss, x, batch["one_hot"], batch["charges"],
+                          batch["node_mask"], batch["edge_mask"],
+                          rep=batch.get("rep"), train=True)
+        return {"denoising_loss": nll.mean(), "proj_loss": jnp.zeros(())}
+
+    return loss_fn
+
+
+def random_rotation(rng, x):
+    """Uniform random rotation augmentation (reference:
+    molecule/qm9/utils shuffle; applied at train_test.py:44)."""
+    b = x.shape[0]
+    q = jax.random.normal(rng, (b, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, i, j, k = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    rot = jnp.stack([
+        1 - 2 * (j ** 2 + k ** 2), 2 * (i * j - k * w), 2 * (i * k + j * w),
+        2 * (i * j + k * w), 1 - 2 * (i ** 2 + k ** 2), 2 * (j * k - i * w),
+        2 * (i * k - j * w), 2 * (j * k + i * w), 1 - 2 * (i ** 2 + j ** 2),
+    ], axis=-1).reshape(b, 3, 3)
+    return jnp.einsum("bij,bnj->bni", rot, x)
+
+
+class MoleculeEDMTrainer:
+    def __init__(self, cfg: MoleculeEDMConfig, mesh=None):
+        self.cfg = cfg
+        self.model = build_dynamics(cfg)
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh(
+            cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor)
+        self.optimizer = make_optimizer(cfg.optim)
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.init_rng, self.train_rng = jax.random.split(rng)
+
+        step_fn = make_train_step(make_loss_fn(self.model, cfg),
+                                  self.optimizer, cfg.curriculum)
+        abstract_state = jax.eval_shape(self._init_state, self.init_rng)
+        param_sharding = meshlib.shard_params(abstract_state.params, self.mesh)
+        rep = meshlib.replicated(self.mesh)
+        from reed_tpu.train.image import _opt_state_shardings
+
+        self.state_shardings = TrainState(
+            step=rep, params=param_sharding, ema_params=param_sharding,
+            opt_state=_opt_state_shardings(abstract_state.opt_state,
+                                           abstract_state.params,
+                                           param_sharding, rep))
+        bsh = meshlib.batch_sharding(self.mesh)
+        keys = ["positions", "one_hot", "charges", "node_mask", "edge_mask"]
+        if cfg.rep_nf is not None:
+            keys.append("rep")
+        self.batch_sharding = {k: bsh for k in keys}
+        self.train_step = jit_train_step(step_fn, self.mesh,
+                                         self.state_shardings,
+                                         self.batch_sharding)
+
+    def _init_state(self, rng) -> TrainState:
+        batch = self.synthetic_batch(jax.random.PRNGKey(0), 2)
+        xh = jnp.concatenate([batch["positions"], batch["one_hot"],
+                              batch["charges"]], axis=-1)
+        p_rng, d_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": p_rng, "rep_dropout": d_rng},
+            jnp.zeros((2,)), xh, batch["node_mask"], batch["edge_mask"],
+            rep=batch.get("rep"), train=True)
+        params = variables["params"]
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          ema_params=ema_init(params),
+                          opt_state=self.optimizer.init(params))
+
+    def init_state(self) -> TrainState:
+        with self.mesh:
+            return jax.jit(self._init_state,
+                           out_shardings=self.state_shardings)(self.init_rng)
+
+    def synthetic_batch(self, rng=None, batch_size=None):
+        cfg = self.cfg
+        bs = batch_size or cfg.batch_size
+        rng = rng if rng is not None else jax.random.PRNGKey(1)
+        r = jax.random.split(rng, 5)
+        n = cfg.max_nodes
+        sizes = jax.random.randint(r[0], (bs,), max(2, n // 2), n + 1)
+        node_mask = (jnp.arange(n)[None, :] < sizes[:, None]
+                     ).astype(jnp.float32)[..., None]
+        diag = jnp.eye(n, dtype=jnp.float32)[None, :, :, None]
+        edge_mask = node_mask[:, :, None, :] * node_mask[:, None, :, :] \
+            * (1.0 - diag)
+        x = jax.random.normal(r[1], (bs, n, 3)) * node_mask
+        x = remove_mean_with_mask(x, node_mask)
+        types = jax.random.randint(r[2], (bs, n), 0, cfg.num_atom_types)
+        one_hot = jax.nn.one_hot(types, cfg.num_atom_types) * node_mask
+        charges = (jax.random.randint(r[3], (bs, n, 1), 1, 9).astype(jnp.float32)
+                   * node_mask)
+        batch = {"positions": x, "one_hot": one_hot, "charges": charges,
+                 "node_mask": node_mask, "edge_mask": edge_mask}
+        if cfg.rep_nf is not None:
+            batch["rep"] = jax.random.normal(r[4], (bs, cfg.rep_nf))
+        return batch
+
+    def sample(self, params, rng, n_samples, node_mask, edge_mask, rep=None,
+               cfg_scale=None):
+        cfg_copy = EDMConfig(**{**self.cfg.edm.__dict__,
+                                "cfg_scale": cfg_scale,
+                                "in_node_nf": self.cfg.num_atom_types
+                                + int(self.cfg.include_charges),
+                                "include_charges": self.cfg.include_charges})
+
+        def dynamics_fn(t, z, nm, em, context, r, drng, train):
+            return self.model.apply({"params": params}, t, z, nm, em,
+                                    context=context, rep=r, train=False)
+
+        def dynamics_cfg_fn(t, z, nm, em, context, r):
+            return self.model.apply({"params": params}, t, z, nm, em,
+                                    None, r, cfg_scale,
+                                    method=EGNNDynamics.forward_with_cfg)
+
+        edm = EnVariationalDiffusion(cfg_copy, dynamics_fn, dynamics_cfg_fn)
+        return edm.sample(rng, n_samples, node_mask.shape[1], node_mask,
+                          edge_mask, rep=rep)

@@ -1,0 +1,152 @@
+"""SemlaFlow path: interpolant/OT, Semla model equivariance, losses,
+training step, generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reed_tpu.core.config import MeshConfig, OptimConfig
+from reed_tpu.diffusion.molecule_fm import (
+    IntegratorConfig,
+    MoleculeInterpolantConfig,
+    MoleculePriorConfig,
+    interpolate_batch,
+    kabsch_rotation,
+    match_mol,
+    sample_prior_batch,
+)
+from reed_tpu.models.semla import zero_com
+from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+TINY = SemlaTrainConfig(
+    vocab_size=6, n_bond_types=4, n_charge_types=3, max_atoms=16,
+    d_model=32, d_message=16, n_layers=4, n_coord_sets=8,
+    d_message_hidden=16, d_edge=16, n_attn_heads=4, size_emb=8,
+    d_rep=12, cond_type="cross_attn", rep_alignment=True, align_depth=(1,),
+    integrator=IntegratorConfig(steps=8, type_strategy="uniform-sample",
+                                bond_strategy="uniform-sample"),
+    interpolant=MoleculeInterpolantConfig(
+        prior=MoleculePriorConfig(vocab_size=6, n_bond_types=4)),
+    batch_size=4, optim=OptimConfig(lr=1e-3, grad_clip=1.0),
+    mesh=MeshConfig(data=1),
+)
+
+
+def test_kabsch_exact_recovery():
+    rng = np.random.default_rng(0)
+    p = rng.standard_normal((10, 3))
+    p -= p.mean(0)
+    # random rotation via QR
+    q_mat, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    if np.linalg.det(q_mat) < 0:
+        q_mat[:, 0] *= -1
+    q = p @ q_mat.T
+    rot = kabsch_rotation(p, q)
+    assert np.allclose(p @ rot.T, q, atol=1e-8)
+
+
+def test_match_mol_reduces_cost():
+    rng = np.random.default_rng(0)
+    to_c = rng.standard_normal((8, 3)).astype(np.float32)
+    to_c -= to_c.mean(0)
+    from_c = rng.standard_normal((8, 3)).astype(np.float32)
+    from_c -= from_c.mean(0)
+    matched = match_mol(from_c.copy(), to_c, equivariant=True)
+    before = ((from_c - to_c) ** 2).sum(-1).mean()
+    after = ((matched - to_c) ** 2).sum(-1).mean()
+    assert after <= before + 1e-6
+
+
+def test_prior_batch_masked_and_zero_com():
+    rng = np.random.default_rng(0)
+    mask = np.ones((2, 10), np.float32)
+    mask[1, 6:] = 0
+    prior = sample_prior_batch(rng, TINY.interpolant.prior, mask)
+    assert np.allclose((prior["coords"] * mask[..., None]).sum(1), 0, atol=1e-5)
+    assert np.allclose(prior["coords"][1, 6:], 0)
+    # bonds symmetric
+    assert np.allclose(prior["bonds"], prior["bonds"].transpose(0, 2, 1, 3))
+
+
+def test_interpolation_endpoints():
+    rng = np.random.default_rng(0)
+    trainer_cfg = TINY
+    mask = np.ones((2, 8), np.float32)
+    data = {
+        "coords": rng.standard_normal((2, 8, 3)).astype(np.float32),
+        "atomics": np.eye(6, dtype=np.float32)[rng.integers(0, 6, (2, 8))],
+        "bonds": np.eye(4, dtype=np.float32)[np.zeros((2, 8, 8), int)],
+        "charges": np.eye(3, dtype=np.float32)[np.zeros((2, 8), int)],
+        "mask": mask,
+    }
+    cfg1 = MoleculeInterpolantConfig(
+        prior=trainer_cfg.interpolant.prior, fixed_time=1.0)
+    _, interp, times = interpolate_batch(rng, cfg1, data)
+    # at t=1 the interpolated batch equals the data
+    assert np.allclose(interp["coords"], data["coords"] * mask[..., None],
+                       atol=1e-5)
+    assert np.allclose(interp["atomics"], data["atomics"])
+
+
+def _trainer():
+    return SemlaTrainer(TINY)
+
+
+def test_semla_train_step_decreases():
+    trainer = _trainer()
+    state = trainer.init_state()
+    batch = jax.tree.map(jnp.asarray, trainer.example_batch(4, 12, seed=1))
+    losses = []
+    with trainer.mesh:
+        for _ in range(6):
+            state, metrics = trainer.train_step(state, batch,
+                                                jax.random.PRNGKey(0))
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+
+
+def test_semla_model_equivariance():
+    """Predicted coords rotate with input; type logits invariant."""
+    trainer = _trainer()
+    state = trainer.init_state()
+    batch = jax.tree.map(jnp.asarray, trainer.example_batch(2, 8, seed=2))
+    interp = batch["interpolated"]
+    cond = {"coords": jnp.zeros_like(interp["coords"]),
+            "atomics": jnp.zeros_like(interp["atomics"]),
+            "bonds": jnp.zeros_like(interp["bonds"])}
+
+    def fwd(coords):
+        return trainer.model.apply(
+            {"params": state.params}, coords, interp["atomics"],
+            edge_feats=interp["bonds"], cond_coords=cond["coords"],
+            cond_atomics=cond["atomics"], cond_bonds=cond["bonds"],
+            atom_mask=interp["mask"], rep=batch["rep"], times=batch["times"])
+
+    out = fwd(interp["coords"])
+    theta = 0.7
+    rot = jnp.array([[np.cos(theta), -np.sin(theta), 0],
+                     [np.sin(theta), np.cos(theta), 0],
+                     [0, 0, 1.0]], jnp.float32)
+    coords_rot = jnp.einsum("ij,bnj->bni", rot, interp["coords"])
+    out_rot = fwd(coords_rot)
+    pred_rot = jnp.einsum("ij,bnj->bni", rot, out[0])
+    assert np.allclose(np.asarray(out_rot[0]), np.asarray(pred_rot), atol=2e-3)
+    assert np.allclose(np.asarray(out_rot[1]), np.asarray(out[1]), atol=2e-3)
+
+
+def test_semla_generation_runs():
+    trainer = _trainer()
+    state = trainer.init_state()
+    rng_np = np.random.default_rng(0)
+    mask = np.ones((2, 8), np.float32)
+    prior = trainer.sample_prior(rng_np, mask)
+    out = trainer.generate(state.params, jax.random.PRNGKey(0), prior,
+                           rep=jnp.asarray(
+                               rng_np.standard_normal((2, 12)).astype(
+                                   np.float32)))
+    assert out["coords"].shape == (2, 8, 3)
+    assert np.all(np.isfinite(np.asarray(out["coords"])))
+    # atomics are probabilities
+    assert np.allclose(np.asarray(out["atomics"].sum(-1)), 1.0, atol=1e-4)
