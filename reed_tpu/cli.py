@@ -170,6 +170,33 @@ def train_molecule_semla(args):
     _run_loop(trainer, state, gen(), args, cfg.batch_size)
 
 
+def train_rdm(args):
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.eval.rep_samplers import DDIMRepSampler
+    from reed_tpu.train.rdm import RDMTrainConfig, RDMTrainer
+
+    cfg = RDMTrainConfig(batch_size=args.batch_size or 128,
+                         optim=OptimConfig(lr=args.lr or 1e-4,
+                                           weight_decay=0.005),
+                         mesh=_mesh_cfg(args), seed=args.seed)
+    trainer = RDMTrainer(cfg)
+    state = trainer.init_state()
+
+    def gen():
+        i = 0
+        while True:
+            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+            i += 1
+
+    state = _run_loop(trainer, state, gen(), args, cfg.batch_size)
+    # smoke-sample a few reps through DDIM to close the two-stage loop
+    sampler = DDIMRepSampler(trainer.diffusion(state.ema_params), eta=1.0,
+                             step_num=10)
+    reps = sampler.sample(jax.random.PRNGKey(0), np.array([9, 12, 15]))
+    print("sampled reps:", reps.shape,
+          "finite:", bool(jnp.all(jnp.isfinite(reps))))
+
+
 def generate_image(args):
     from reed_tpu.eval.fid import FIDGenConfig, generate_samples
     from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
@@ -214,6 +241,10 @@ def main(argv=None):
     p = sub.add_parser("train-molecule-semla")
     _add_common(p)
     p.set_defaults(fn=train_molecule_semla)
+
+    p = sub.add_parser("train-rdm")
+    _add_common(p)
+    p.set_defaults(fn=train_rdm)
 
     p = sub.add_parser("generate-image")
     p.add_argument("--model", default="SiT-B/2")
