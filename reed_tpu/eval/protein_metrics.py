@@ -1,0 +1,143 @@
+"""Protein evaluation: sequence recovery, backbone RMSD (Kabsch), and a
+folding-model subprocess harness.
+
+Clean-room rebuild of the reference eval stack: sequence-recovery
+accounting (protein/fmif/train_fmif.py:464-540), the PyRosetta bb-RMSD +
+pLDDT scoring (train_fmif.py:25-71 — replaced by a pure-numpy Kabsch RMSD,
+per SURVEY.md §2.6), and the ESMFold/colabfold subprocess interface
+(protein/multiflow/models/folding_model.py:14-166), gated on the external
+binaries being present.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+from typing import Dict, List, Optional
+
+import numpy as np
+
+ALPHABET_WITH_MASK = "ACDEFGHIKLMNPQRSTVWYXZ"
+
+
+def sequence_recovery(pred_tokens, true_tokens, mask) -> float:
+    """Fraction of correctly recovered residues over valid positions
+    (reference: train_fmif.py:472-540 accumulators)."""
+    pred = np.asarray(pred_tokens)
+    true = np.asarray(true_tokens)
+    m = np.asarray(mask).astype(bool)
+    return float((pred[m] == true[m]).mean())
+
+
+def tokens_to_sequence(tokens, mask=None) -> str:
+    tokens = np.asarray(tokens)
+    if mask is not None:
+        tokens = tokens[np.asarray(mask).astype(bool)]
+    return "".join(ALPHABET_WITH_MASK[t] for t in tokens)
+
+
+def kabsch_rmsd(p: np.ndarray, q: np.ndarray) -> float:
+    """Optimal-superposition RMSD between two [N,3] coordinate sets
+    (pure-numpy replacement for pyrosetta bb_rmsd, train_fmif.py:38-60)."""
+    p = np.asarray(p, np.float64)
+    q = np.asarray(q, np.float64)
+    p = p - p.mean(0)
+    q = q - q.mean(0)
+    h = p.T @ q
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    rot = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    diff = p @ rot.T - q
+    return float(np.sqrt((diff ** 2).sum(-1).mean()))
+
+
+def backbone_rmsd(x_pred: np.ndarray, x_true: np.ndarray,
+                  mask: np.ndarray) -> float:
+    """bb-RMSD over all four backbone atoms of valid residues."""
+    m = np.asarray(mask).astype(bool)
+    p = np.asarray(x_pred)[m].reshape(-1, 3)
+    q = np.asarray(x_true)[m].reshape(-1, 3)
+    return kabsch_rmsd(p, q)
+
+
+class FoldingModel:
+    """Host-side folding-evaluation harness.
+
+    Mirrors the reference FoldingModel contract
+    (protein/multiflow/models/folding_model.py): fold sequences to
+    structures + pLDDT via an external tool. On this image no folding
+    binary is available, so `available` gates usage; the subprocess
+    command is configurable (e.g. a colabfold or ESMFold CLI wrapper).
+    """
+
+    def __init__(self, command: Optional[List[str]] = None):
+        # e.g. ["colabfold_batch", "--num-models", "1"] or an esmfold CLI
+        self.command = command
+        self._checked = None
+
+    @property
+    def available(self) -> bool:
+        if self.command is None:
+            return False
+        if self._checked is None:
+            self._checked = shutil.which(self.command[0]) is not None
+        return self._checked
+
+    def fold_fasta(self, sequences: Dict[str, str], output_dir: str) -> Dict:
+        """Write fasta, run the folding tool, return paths + pLDDTs parsed
+        from output PDB B-factors (reference: folding_model.py:35-73)."""
+        if not self.available:
+            raise RuntimeError(
+                "no folding backend configured; set FoldingModel(command=...)")
+        os.makedirs(output_dir, exist_ok=True)
+        fasta = os.path.join(output_dir, "input.fasta")
+        with open(fasta, "w") as f:
+            for name, seq in sequences.items():
+                f.write(f">{name}\n{seq}\n")
+        subprocess.run(self.command + [fasta, output_dir], check=True)
+        results = {}
+        for name in sequences:
+            pdb_path = self._find_pdb(output_dir, name)
+            results[name] = {
+                "pdb": pdb_path,
+                "plddt": self._mean_plddt(pdb_path) if pdb_path else None,
+            }
+        return results
+
+    @staticmethod
+    def _find_pdb(output_dir: str, name: str) -> Optional[str]:
+        for fn in sorted(os.listdir(output_dir)):
+            if fn.startswith(name) and fn.endswith(".pdb"):
+                return os.path.join(output_dir, fn)
+        return None
+
+    @staticmethod
+    def _mean_plddt(pdb_path: str) -> float:
+        """Mean of CA B-factor column (pLDDT convention)."""
+        vals = []
+        with open(pdb_path) as f:
+            for line in f:
+                if line.startswith("ATOM") and line[12:16].strip() == "CA":
+                    vals.append(float(line[60:66]))
+        return float(np.mean(vals)) if vals else float("nan")
+
+
+def parse_pdb_backbone(pdb_path: str) -> np.ndarray:
+    """Read N/CA/C/O coords from a PDB file -> [L, 4, 3]."""
+    atoms = {"N": 0, "CA": 1, "C": 2, "O": 3}
+    residues: Dict[int, np.ndarray] = {}
+    with open(pdb_path) as f:
+        for line in f:
+            if not line.startswith("ATOM"):
+                continue
+            name = line[12:16].strip()
+            if name not in atoms:
+                continue
+            resi = int(line[22:26])
+            xyz = [float(line[30:38]), float(line[38:46]), float(line[46:54])]
+            residues.setdefault(resi, np.full((4, 3), np.nan))[
+                atoms[name]] = xyz
+    keys = sorted(residues)
+    return np.stack([residues[k] for k in keys])

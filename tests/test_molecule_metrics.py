@@ -1,0 +1,103 @@
+"""Molecule stability metrics + graph statistics."""
+
+import numpy as np
+import pytest
+
+from reed_tpu.eval.graph_stats import (
+    all_graph_stats,
+    clustering_coefficients,
+    degree_stats,
+    mmd,
+)
+from reed_tpu.eval.molecule_metrics import (
+    DistributionNodes,
+    MoleculeMetrics,
+    check_stability,
+    get_bond_order,
+)
+
+# H2O geometry (Angstrom): O-H bond ~0.96
+WATER_POS = np.array([[0.0, 0.0, 0.0],        # O
+                      [0.96, 0.0, 0.0],       # H
+                      [-0.24, 0.93, 0.0]])    # H
+WATER_TYPES = [3, 0, 0]  # O, H, H in QM9 decoder [H,C,N,O,F]
+
+# CH4: C at origin, 4 H at ~1.09 tetrahedral
+CH4_POS = np.array([[0, 0, 0],
+                    [0.63, 0.63, 0.63],
+                    [-0.63, -0.63, 0.63],
+                    [-0.63, 0.63, -0.63],
+                    [0.63, -0.63, -0.63]], float)
+CH4_TYPES = [1, 0, 0, 0, 0]
+
+
+def test_bond_orders():
+    assert get_bond_order("O", "H", 0.96) == 1
+    assert get_bond_order("C", "C", 1.54) == 1
+    assert get_bond_order("C", "C", 1.34) == 2
+    assert get_bond_order("C", "C", 1.20) == 3
+    assert get_bond_order("C", "C", 3.0) == 0
+
+
+def test_water_stable():
+    stable, n_stable, n = check_stability(WATER_POS, WATER_TYPES)
+    assert stable and n_stable == 3
+
+
+def test_methane_stable():
+    stable, n_stable, n = check_stability(CH4_POS, CH4_TYPES)
+    assert stable and n_stable == 5
+
+
+def test_broken_molecule_unstable():
+    pos = WATER_POS.copy()
+    pos[1] += 5.0  # H flies away -> O has 1 bond, lone H has 0
+    stable, n_stable, _ = check_stability(pos, WATER_TYPES)
+    assert not stable and n_stable == 1  # only the remaining O-H H is stable
+
+
+def test_metrics_aggregation():
+    mols = [(WATER_POS, np.array(WATER_TYPES)),
+            (CH4_POS, np.array(CH4_TYPES)),
+            (WATER_POS + np.array([5, 0, 0]), np.array(WATER_TYPES))]
+    m = MoleculeMetrics().evaluate(mols)
+    assert m["mol_stable"] == 1.0
+    assert m["atom_stable"] == 1.0
+    assert m["validity"] == 1.0
+    # two identical water graphs -> uniqueness 2/3
+    assert m["uniqueness"] == pytest.approx(2 / 3)
+
+
+def test_distribution_nodes():
+    rng = np.random.default_rng(0)
+    d = DistributionNodes({5: 10.0, 9: 30.0})
+    s = d.sample(rng, 4000)
+    assert set(np.unique(s)) == {5, 9}
+    assert abs((s == 9).mean() - 0.75) < 0.03
+    lp = d.log_prob(np.array([5, 9, 7]))
+    assert lp[2] < -60  # unseen size ~ -inf
+
+
+def test_mmd_zero_for_identical():
+    hists = [np.array([0.5, 0.5]), np.array([0.2, 0.8])]
+    assert mmd(hists, hists) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_graph_stats_discriminate():
+    rng = np.random.default_rng(0)
+    # ref: triangles; pred_same: triangles; pred_diff: paths
+    tri = (3, np.array([[0, 1], [1, 2], [0, 2]]))
+    path = (3, np.array([[0, 1], [1, 2]]))
+    stats_same = all_graph_stats([tri] * 4, [tri] * 4)
+    stats_diff = all_graph_stats([tri] * 4, [path] * 4)
+    for k in stats_same:
+        assert stats_same[k] == pytest.approx(0.0, abs=1e-9)
+        assert stats_diff[k] > stats_same[k] - 1e-12
+    assert stats_diff["orbit_mmd"] > 0 or stats_diff["degree_mmd"] > 0
+
+
+def test_clustering_coefficients():
+    tri = (3, np.array([[0, 1], [1, 2], [0, 2]]))
+    assert np.allclose(clustering_coefficients(tri), 1.0)
+    star = (4, np.array([[0, 1], [0, 2], [0, 3]]))
+    assert np.allclose(clustering_coefficients(star), 0.0)
