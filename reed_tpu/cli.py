@@ -55,6 +55,9 @@ def _run_loop(trainer, state, batch_iter, args, samples_per_step):
 
         ckpt = CheckpointManager(args.ckpt_dir,
                                  save_interval_steps=args.ckpt_every)
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore(jax.eval_shape(lambda: state))
+            print(f"resumed from step {int(state.step)}")
     with trainer.mesh:
         for i in range(args.steps):
             batch = next(batch_iter)

@@ -1,0 +1,84 @@
+"""Frozen encoder registry + JAX ViT."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reed_tpu.encoders.registry import (
+    TEXT_Z_DIM_DICT,
+    FrozenEncoder,
+    load_encoders,
+    load_npz_params,
+    save_npz_params,
+)
+from reed_tpu.encoders.vit import ViT, ViTConfig, resample_pos_embed
+
+
+def test_vit_forward_shapes():
+    cfg = ViTConfig(image_size=28, patch_size=14, hidden_size=32, depth=2,
+                    num_heads=2)
+    model = ViT(cfg)
+    x = jnp.zeros((2, 28, 28, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    patches = model.apply(variables, x, output="patch")
+    assert patches.shape == (2, 4, 32)
+    cls = model.apply(variables, x, output="cls")
+    assert cls.shape == (2, 32)
+    pooled = model.apply(variables, x, output="pooled")
+    assert pooled.shape == (2, 32)
+
+
+def test_vit_register_tokens():
+    cfg = ViTConfig(image_size=28, patch_size=14, hidden_size=32, depth=1,
+                    num_heads=2, num_register_tokens=4)
+    model = ViT(cfg)
+    x = jnp.zeros((1, 28, 28, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    patches = model.apply(variables, x, output="patch")
+    assert patches.shape == (1, 4, 32)  # registers stripped
+
+
+def test_pos_embed_resample():
+    pos = jnp.asarray(np.random.default_rng(0).standard_normal((1, 17, 8)),
+                      jnp.float32)  # cls + 4x4 grid
+    out = resample_pos_embed(pos, 8, 8)
+    assert out.shape == (1, 65, 8)
+    # identity when grid matches
+    same = resample_pos_embed(pos, 4, 4)
+    assert np.allclose(np.asarray(same), np.asarray(pos))
+
+
+def test_load_encoders_registry():
+    encoders, enc_types, archs = load_encoders("dinov2-vit-b,clip-vit-l",
+                                               resolution=256,
+                                               encoder_dir=None)
+    assert enc_types == ["dinov2", "clip"]
+    assert encoders[0].z_dim == 768 and encoders[1].z_dim == 1024
+    # no weights -> calling raises a clear error
+    with pytest.raises(RuntimeError, match="no weights"):
+        encoders[0](np.zeros((1, 224, 224, 3), np.float32))
+    # preprocessing normalizes to roughly zero mean on gray input
+    x = np.full((1, 256, 256, 3), 128, np.uint8)
+    out = encoders[0].preprocess(x)
+    assert out.shape[1] == 224  # dinov2 resizes to 224
+    assert abs(out.mean()) < 1.0
+
+
+def test_unknown_family_raises():
+    with pytest.raises(NotImplementedError):
+        load_encoders("resnet-vit-b")
+
+
+def test_npz_roundtrip(tmp_path):
+    tree = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+                       "nested": {"b": np.ones(4, np.float32)}}}
+    path = str(tmp_path / "p.npz")
+    save_npz_params(path, tree)
+    loaded = load_npz_params(path)
+    assert np.allclose(loaded["params"]["a"], tree["params"]["a"])
+    assert np.allclose(loaded["params"]["nested"]["b"], 1.0)
+
+
+def test_text_z_dims():
+    assert TEXT_Z_DIM_DICT["qwen7b"] == 3584
