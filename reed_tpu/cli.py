@@ -200,6 +200,57 @@ def train_rdm(args):
           "finite:", bool(jnp.all(jnp.isfinite(reps))))
 
 
+def eval_molecule(args):
+    """Two-stage molecule eval: RDM-sampled (or synthetic Gt) reps ->
+    EDM sampling -> stability/validity metrics with replicate mean/std
+    (reference: molecule/eval_src/eval_analyze.py)."""
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.eval.molecule_metrics import DistributionNodes, MoleculeMetrics
+    from reed_tpu.eval.rep_samplers import GtSampler
+    from reed_tpu.eval.two_stage import (TwoStageSampler, evaluate_replicates,
+                                         molecules_from_samples)
+    from reed_tpu.train.molecule_edm import MoleculeEDMConfig, MoleculeEDMTrainer
+
+    cfg = MoleculeEDMConfig(batch_size=args.batch_size or 16,
+                            edm=MoleculeEDMConfig().edm.__class__(
+                                timesteps=args.num_steps),
+                            mesh=_mesh_cfg(args), seed=args.seed)
+    trainer = MoleculeEDMTrainer(cfg)
+    state = trainer.init_state()
+    if args.ckpt_dir:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        state = CheckpointManager(args.ckpt_dir).restore(
+            jax.eval_shape(lambda: state))
+
+    np_rng = np.random.default_rng(args.seed)
+    # stand-in training-set reps/sizes for the GtSampler (real runs load
+    # precomputed encoder reps from disk)
+    reps = np_rng.standard_normal((256, cfg.rep_nf)).astype(np.float32)
+    sizes = np_rng.integers(cfg.max_nodes // 2, cfg.max_nodes + 1, 256)
+    rep_sampler = GtSampler(reps, sizes)
+    node_dist = DistributionNodes(
+        {int(s): float((sizes == s).sum()) for s in np.unique(sizes)})
+
+    def mol_sampler(rng, node_mask, edge_mask, rep):
+        return trainer.sample(state.ema_params, rng, node_mask.shape[0],
+                              node_mask, edge_mask, rep=rep)
+
+    sampler = TwoStageSampler(rep_sampler, mol_sampler)
+    metrics = MoleculeMetrics()
+
+    def sample_replicate(r):
+        nodes = node_dist.sample(np_rng, cfg.batch_size)
+        x, h_cat, h_int, node_mask = sampler.sample(
+            jax.random.PRNGKey(args.seed + r), nodes, cfg.max_nodes,
+            np_rng=np_rng)
+        return molecules_from_samples(x, h_cat, node_mask)
+
+    out = evaluate_replicates(sample_replicate, metrics,
+                              n_replicates=args.n_replicates)
+    print(json.dumps(out, indent=2))
+
+
 def generate_image(args):
     from reed_tpu.eval.fid import FIDGenConfig, generate_samples
     from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
@@ -248,6 +299,12 @@ def main(argv=None):
     p = sub.add_parser("train-rdm")
     _add_common(p)
     p.set_defaults(fn=train_rdm)
+
+    p = sub.add_parser("eval-molecule")
+    p.add_argument("--n-replicates", type=int, default=3)
+    p.add_argument("--num-steps", type=int, default=100)
+    _add_common(p)
+    p.set_defaults(fn=eval_molecule)
 
     p = sub.add_parser("generate-image")
     p.add_argument("--model", default="SiT-B/2")

@@ -31,8 +31,11 @@ class GtSampler:
         self.reps = np.asarray(reps)
         self.num_atoms = np.asarray(num_atoms)
 
-    def sample(self, rng: np.random.Generator, nodesxsample: np.ndarray
-               ) -> jnp.ndarray:
+    def sample(self, rng, nodesxsample: np.ndarray) -> jnp.ndarray:
+        if not isinstance(rng, np.random.Generator):
+            # accept a jax PRNG key for API parity with the RDM samplers
+            seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+            rng = np.random.default_rng(seed)
         out = np.zeros((len(nodesxsample), self.reps.shape[1]), np.float32)
         for i, n in enumerate(np.asarray(nodesxsample)):
             idx = np.flatnonzero(self.num_atoms == n)
