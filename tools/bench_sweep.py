@@ -1,0 +1,61 @@
+"""Sweep SiT-XL/2 train-step throughput across batch/remat/attention
+configurations on the current accelerator. Prints one line per config."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
+from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
+from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
+
+
+def run(batch, remat, attn_impl, steps=10):
+    cfg = ImageTrainConfig(
+        model="SiT-XL/2", input_size=32, num_classes=1000,
+        encoder_depth=8, encoder_depth_text=16,
+        z_dims=(768, 3584), z_types=("i", "t"), projector_dim=2048,
+        compute_dtype="bfloat16", remat=remat, attn_impl=attn_impl,
+        batch_size=batch,
+        loss=FlowMatchingLossConfig(enc_names=("dinov2", "qwen"),
+                                    loss_weights=(1.0, 0.5)),
+        optim=OptimConfig(lr=1e-4, grad_clip=1.0),
+        curriculum=CurriculumConfig(proj_coeff=0.5,
+                                    diffusion_warmup_steps=50_000,
+                                    max_steps=1_000_000),
+        mesh=MeshConfig(data=1),
+    )
+    try:
+        trainer = ImageTrainer(cfg)
+        state = trainer.init_state()
+        data = trainer.synthetic_batch(jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(0)
+        with trainer.mesh:
+            state, m = trainer.train_step(state, data, rng)
+            float(jax.device_get(m["loss"]))
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, m = trainer.train_step(state, data, rng)
+            float(jax.device_get(m["loss"]))
+            dt = time.perf_counter() - t0
+        print(f"batch={batch} remat={remat} attn={attn_impl}: "
+              f"{batch * steps / dt:.1f} imgs/s", flush=True)
+    except Exception as e:
+        print(f"batch={batch} remat={remat} attn={attn_impl}: FAILED "
+              f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+    finally:
+        del trainer, state
+
+
+if __name__ == "__main__":
+    import sys
+
+    configs = [
+        (64, True, "pallas"),
+        (64, True, "xla"),
+        (32, False, "pallas"),
+        (128, True, "pallas"),
+    ]
+    for c in configs:
+        run(*c)
