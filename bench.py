@@ -28,8 +28,9 @@ def main():
 
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    # Per-chip batch 64 (fits v5e 16GB HBM with f32 adam states + bf16 compute)
-    batch = 64 * n_dev
+    # Per-chip batch 32 without rematerialization: measured fastest on v5e
+    # 16GB (145 imgs/s vs 96 at bs64+remat; see tools/bench_sweep.py)
+    batch = 32 * n_dev
 
     cfg = ImageTrainConfig(
         model="SiT-XL/2",
@@ -42,7 +43,7 @@ def main():
         z_types=("i", "t"),
         projector_dim=2048,
         compute_dtype="bfloat16" if platform == "tpu" else "float32",
-        remat=True,   # v5e 16GB: 675M f32 params x4 states leave little HBM
+        remat=False,
         batch_size=batch,
         loss=FlowMatchingLossConfig(enc_names=("dinov2", "qwen"),
                                     loss_weights=(1.0, 0.5)),
@@ -75,7 +76,7 @@ def main():
     print(json.dumps({
         "metric": "imgs/sec/chip",
         "value": round(imgs_per_sec_per_chip, 2),
-        "unit": "imgs/sec/chip (SiT-XL/2 REED train step, bs64/chip)",
+        "unit": "imgs/sec/chip (SiT-XL/2 REED train step, bs32/chip)",
         "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
     }))
 

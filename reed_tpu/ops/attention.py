@@ -57,5 +57,8 @@ def _pallas_ok(q) -> bool:
     if not _on_tpu():
         return False
     b, s, h, d = q.shape
-    # flash kernel tiles: seq multiple of 128, head_dim padded to 128 inside.
-    return s % 128 == 0 and s >= 128 and d <= 128
+    # The kernel needs seq a multiple of 128 and pads head_dim to the
+    # 128-lane tile — padding (e.g. SiT's d=72) wastes MXU work and
+    # measured slower than XLA SDPA, so only take the kernel when the head
+    # dim is already lane-aligned.
+    return s % 128 == 0 and s >= 128 and d % 128 == 0

@@ -219,15 +219,21 @@ class MoleculeEDMTrainer:
                                 + int(self.cfg.include_charges),
                                 "include_charges": self.cfg.include_charges})
 
-        def dynamics_fn(t, z, nm, em, context, r, drng, train):
-            return self.model.apply({"params": params}, t, z, nm, em,
-                                    context=context, rep=r, train=False)
+        # params threaded through jit (closure would bake them as constants)
+        @jax.jit
+        def _sample(params, rng, node_mask, edge_mask, rep):
+            def dynamics_fn(t, z, nm, em, context, r, drng, train):
+                return self.model.apply({"params": params}, t, z, nm, em,
+                                        context=context, rep=r, train=False)
 
-        def dynamics_cfg_fn(t, z, nm, em, context, r):
-            return self.model.apply({"params": params}, t, z, nm, em,
-                                    None, r, cfg_scale,
-                                    method=EGNNDynamics.forward_with_cfg)
+            def dynamics_cfg_fn(t, z, nm, em, context, r):
+                return self.model.apply({"params": params}, t, z, nm, em,
+                                        None, r, cfg_scale,
+                                        method=EGNNDynamics.forward_with_cfg)
 
-        edm = EnVariationalDiffusion(cfg_copy, dynamics_fn, dynamics_cfg_fn)
-        return edm.sample(rng, n_samples, node_mask.shape[1], node_mask,
-                          edge_mask, rep=rep)
+            edm = EnVariationalDiffusion(cfg_copy, dynamics_fn,
+                                         dynamics_cfg_fn)
+            return edm.sample(rng, node_mask.shape[0], node_mask.shape[1],
+                              node_mask, edge_mask, rep=rep)
+
+        return _sample(params, rng, node_mask, edge_mask, rep)

@@ -329,38 +329,54 @@ class SemlaTrainer:
         cond = {"coords": jnp.zeros_like(prior["coords"]),
                 "atomics": jnp.zeros_like(prior["atomics"]),
                 "bonds": jnp.zeros_like(prior["bonds"])}
+        return self._generate_jit(params, rng, prior, rep, cond, times_arr,
+                                  sizes_arr, steps, time_points)
 
-        def predict(curr, t_vec, cond_batch):
-            coords, tl, bl, cl, _ = self.model.apply(
-                {"params": params}, curr["coords"], curr["atomics"],
-                edge_feats=curr["bonds"],
-                cond_coords=cond_batch["coords"] if cfg.self_cond else None,
-                cond_atomics=cond_batch["atomics"] if cfg.self_cond else None,
-                cond_bonds=cond_batch["bonds"] if cfg.self_cond else None,
-                atom_mask=curr["mask"], rep=rep, times=t_vec)
-            return {"coords": coords,
-                    "atomics": jax.nn.softmax(tl, axis=-1),
-                    "bonds": jax.nn.softmax(bl, axis=-1),
-                    "charges": jax.nn.softmax(cl, axis=-1)}
-
+    def _generate_jit(self, params, rng, prior, rep, cond, times_arr,
+                      sizes_arr, steps, time_points):
+        cfg = self.cfg
         b = prior["coords"].shape[0]
+        t_final = float(time_points[-2])
 
-        def body(carry, i):
-            curr, cond_batch = carry
-            t_vec = jnp.full((b,), times_arr[i])
-            predicted = predict(curr, t_vec, cond_batch)
-            new = integrator_step(jax.random.fold_in(rng, i), cfg.integrator,
-                                  curr, predicted, prior, t_vec, sizes_arr[i])
-            new_cond = {"coords": predicted["coords"],
-                        "atomics": predicted["atomics"],
-                        "bonds": predicted["bonds"]}
-            return (new, new_cond), None
+        # params/rng/prior/rep enter as jit arguments (closures would bake
+        # every weight into the lowered module as a constant)
+        @jax.jit
+        def run(params, rng, prior, rep, cond):
+            def predict(curr, t_vec, cond_batch):
+                coords, tl, bl, cl, _ = self.model.apply(
+                    {"params": params}, curr["coords"], curr["atomics"],
+                    edge_feats=curr["bonds"],
+                    cond_coords=(cond_batch["coords"]
+                                 if cfg.self_cond else None),
+                    cond_atomics=(cond_batch["atomics"]
+                                  if cfg.self_cond else None),
+                    cond_bonds=(cond_batch["bonds"]
+                                if cfg.self_cond else None),
+                    atom_mask=curr["mask"], rep=rep, times=t_vec)
+                return {"coords": coords,
+                        "atomics": jax.nn.softmax(tl, axis=-1),
+                        "bonds": jax.nn.softmax(bl, axis=-1),
+                        "charges": jax.nn.softmax(cl, axis=-1)}
 
-        (curr, cond), _ = jax.lax.scan(body, (dict(prior), cond),
-                                       jnp.arange(steps))
-        final = predict(curr, jnp.full((b,), float(time_points[-2])), cond)
-        final["mask"] = prior["mask"]
-        return final
+            def body(carry, i):
+                curr, cond_batch = carry
+                t_vec = jnp.full((b,), times_arr[i])
+                predicted = predict(curr, t_vec, cond_batch)
+                new = integrator_step(jax.random.fold_in(rng, i),
+                                      cfg.integrator, curr, predicted, prior,
+                                      t_vec, sizes_arr[i])
+                new_cond = {"coords": predicted["coords"],
+                            "atomics": predicted["atomics"],
+                            "bonds": predicted["bonds"]}
+                return (new, new_cond), None
+
+            (curr, cond2), _ = jax.lax.scan(body, (dict(prior), cond),
+                                            jnp.arange(steps))
+            final = predict(curr, jnp.full((b,), t_final), cond2)
+            final["mask"] = prior["mask"]
+            return final
+
+        return run(params, rng, prior, rep, cond)
 
     def sample_prior(self, rng_np: np.random.Generator, mask: np.ndarray):
         return {k: jnp.asarray(v) for k, v in sample_prior_batch(

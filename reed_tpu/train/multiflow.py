@@ -216,10 +216,15 @@ class MultiflowTrainer:
         }
 
     def sample(self, params, rng, batch_size, length, num_timesteps=None):
-        def model_fn(batch):
-            return self.model.apply({"params": params}, batch)
+        # params threaded through jit (closure would bake them as constants)
+        @jax.jit
+        def _sample(params, rng):
+            def model_fn(batch):
+                return self.model.apply({"params": params}, batch)
 
-        res_mask = jnp.ones((batch_size, length), jnp.float32)
-        return se3_sample(rng, self.cfg.interpolant, model_fn,
-                          (batch_size, length), res_mask,
-                          num_timesteps=num_timesteps)
+            res_mask = jnp.ones((batch_size, length), jnp.float32)
+            return se3_sample(rng, self.cfg.interpolant, model_fn,
+                              (batch_size, length), res_mask,
+                              num_timesteps=num_timesteps)
+
+        return _sample(params, rng)

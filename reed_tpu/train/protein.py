@@ -10,6 +10,7 @@ reference is single-GPU — here the batch axis shards over 'data'.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -196,18 +197,24 @@ class ProteinTrainer:
             batch_size or cfg.batch_size, length or cfg.max_len, cfg)
 
     def sample(self, params, batch, rng, cls=None, w=None):
-        """Euler unmasking sampling conditioned on the backbone."""
+        """Euler unmasking sampling conditioned on the backbone. Params are
+        a jit argument (closing over them bakes weights into the lowering
+        as constants — pathological on remote-tunnel TPU transports)."""
         cfg = self.cfg
 
-        def logits_fn(tokens, cls_arr):
-            return self.model.apply(
-                {"params": params}, batch["X"], tokens, batch["mask"],
-                batch["chain_M"], batch["residue_idx"],
-                batch["chain_encoding_all"], cls=cls_arr, return_rep=False,
-                train=False)
+        @functools.partial(jax.jit, static_argnames=("cls", "w"))
+        def _sample(params, batch, rng, cls=None, w=None):
+            def logits_fn(tokens, cls_arr):
+                return self.model.apply(
+                    {"params": params}, batch["X"], tokens, batch["mask"],
+                    batch["chain_M"], batch["residue_idx"],
+                    batch["chain_encoding_all"], cls=cls_arr,
+                    return_rep=False, train=False)
 
-        return euler_unmask_sampler(logits_fn, rng, batch["S"].shape,
-                                    cfg.interpolant, cls=cls, w=w)
+            return euler_unmask_sampler(logits_fn, rng, batch["S"].shape,
+                                        cfg.interpolant, cls=cls, w=w)
+
+        return _sample(params, batch, rng, cls=cls, w=w)
 
 
 def synthetic_protein_batch(rng, batch_size: int, length: int,

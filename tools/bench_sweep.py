@@ -52,10 +52,9 @@ if __name__ == "__main__":
     import sys
 
     configs = [
-        (64, True, "pallas"),
-        (64, True, "xla"),
-        (32, False, "pallas"),
-        (128, True, "pallas"),
+        (32, False, "xla"),
+        (48, False, "xla"),
+        (64, False, "xla"),
     ]
     for c in configs:
         run(*c)
