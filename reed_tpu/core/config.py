@@ -20,6 +20,7 @@ class OptimConfig:
     schedule: str = "constant"          # constant | onecycle | cosine
     warmup_steps: int = 0
     total_steps: int = 1_000_000
+    accum_steps: int = 1                # gradient accumulation (optax.MultiSteps)
 
 
 @dataclass(frozen=True)

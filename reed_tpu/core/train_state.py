@@ -41,4 +41,9 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
                                  weight_decay=cfg.weight_decay))
     else:
         chain.append(optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.accum_steps > 1:
+        # gradient accumulation (replaces accelerate's grad-accum wrapper,
+        # reference image/train.py:141-151)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx

@@ -116,6 +116,7 @@ def make_loss_fn(model: EGNNDynamics, cfg: MoleculeEDMConfig):
             x = random_rotation(rng_rot, x) * batch["node_mask"]
         nll, _ = edm.loss(rng_loss, x, batch["one_hot"], batch["charges"],
                           batch["node_mask"], batch["edge_mask"],
+                          context=batch.get("context"),
                           rep=batch.get("rep"), train=True)
         return {"denoising_loss": nll.mean(), "proj_loss": jnp.zeros(())}
 
@@ -163,6 +164,8 @@ class MoleculeEDMTrainer:
         keys = ["positions", "one_hot", "charges", "node_mask", "edge_mask"]
         if cfg.rep_nf is not None:
             keys.append("rep")
+        if cfg.context_node_nf > 0:
+            keys.append("context")
         self.batch_sharding = {k: bsh for k in keys}
         self.train_step = jit_train_step(step_fn, self.mesh,
                                          self.state_shardings,
@@ -176,7 +179,7 @@ class MoleculeEDMTrainer:
         variables = self.model.init(
             {"params": p_rng, "rep_dropout": d_rng},
             jnp.zeros((2,)), xh, batch["node_mask"], batch["edge_mask"],
-            rep=batch.get("rep"), train=True)
+            context=batch.get("context"), rep=batch.get("rep"), train=True)
         params = variables["params"]
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           ema_params=ema_init(params),
@@ -209,10 +212,17 @@ class MoleculeEDMTrainer:
                  "node_mask": node_mask, "edge_mask": edge_mask}
         if cfg.rep_nf is not None:
             batch["rep"] = jax.random.normal(r[4], (bs, cfg.rep_nf))
+        if cfg.context_node_nf > 0:
+            # per-molecule property broadcast to nodes (reference:
+            # qm9/utils prepare_context)
+            prop = jax.random.normal(jax.random.fold_in(r[4], 1),
+                                     (bs, 1, cfg.context_node_nf))
+            batch["context"] = jnp.broadcast_to(
+                prop, (bs, n, cfg.context_node_nf)) * node_mask
         return batch
 
     def sample(self, params, rng, n_samples, node_mask, edge_mask, rep=None,
-               cfg_scale=None):
+               cfg_scale=None, context=None):
         cfg_copy = EDMConfig(**{**self.cfg.edm.__dict__,
                                 "cfg_scale": cfg_scale,
                                 "in_node_nf": self.cfg.num_atom_types
@@ -221,19 +231,19 @@ class MoleculeEDMTrainer:
 
         # params threaded through jit (closure would bake them as constants)
         @jax.jit
-        def _sample(params, rng, node_mask, edge_mask, rep):
-            def dynamics_fn(t, z, nm, em, context, r, drng, train):
+        def _sample(params, rng, node_mask, edge_mask, rep, context):
+            def dynamics_fn(t, z, nm, em, ctx, r, drng, train):
                 return self.model.apply({"params": params}, t, z, nm, em,
-                                        context=context, rep=r, train=False)
+                                        context=ctx, rep=r, train=False)
 
-            def dynamics_cfg_fn(t, z, nm, em, context, r):
+            def dynamics_cfg_fn(t, z, nm, em, ctx, r):
                 return self.model.apply({"params": params}, t, z, nm, em,
-                                        None, r, cfg_scale,
+                                        ctx, r, cfg_scale,
                                         method=EGNNDynamics.forward_with_cfg)
 
             edm = EnVariationalDiffusion(cfg_copy, dynamics_fn,
                                          dynamics_cfg_fn)
             return edm.sample(rng, node_mask.shape[0], node_mask.shape[1],
-                              node_mask, edge_mask, rep=rep)
+                              node_mask, edge_mask, context=context, rep=rep)
 
-        return _sample(params, rng, node_mask, edge_mask, rep)
+        return _sample(params, rng, node_mask, edge_mask, rep, context)

@@ -109,3 +109,27 @@ def test_curriculum_inside_step():
     assert float(metrics["diffusion_decay"]) == 0.0
     assert np.isclose(float(metrics["loss"]),
                       float(metrics["proj_loss"]), rtol=1e-5)
+
+
+def test_grad_accumulation():
+    """With accum_steps=k, params change only every k steps and the k-step
+    update matches averaged gradients."""
+    cfg = TINY.__class__(**{
+        **TINY.__dict__,
+        "optim": OptimConfig(lr=1e-3, accum_steps=2),
+        "mesh": MeshConfig(data=1, fsdp=1, tensor=1),
+    })
+    trainer = ImageTrainer(cfg)
+    state = trainer.init_state()
+    batch = trainer.synthetic_batch()
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    p0 = np.asarray(p0)
+    with trainer.mesh:
+        state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+        # copy to host before the next step donates the buffer
+        p1 = np.asarray(jax.tree.leaves(state.params)[0])
+        state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+        p2 = np.asarray(jax.tree.leaves(state.params)[0])
+    # first micro-step: accumulation only, params unchanged
+    assert np.allclose(p0, p1)
+    assert not np.allclose(p1, p2)
