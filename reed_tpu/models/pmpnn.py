@@ -32,6 +32,10 @@ from reed_tpu.ops.graph import (
     rbf,
 )
 
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
 ALPHABET = "ACDEFGHIKLMNPQRSTVWYX"
 ALPHABET_WITH_MASK = ALPHABET + "Z"
 MASK_TOKEN_INDEX = ALPHABET_WITH_MASK.index("Z")  # 21
@@ -50,7 +54,7 @@ class PositionWiseFeedForward(nn.Module):
     def __call__(self, x):
         d = x.shape[-1]
         h = nn.Dense(self.num_ff, dtype=self.dtype, kernel_init=xavier_uniform)(x)
-        h = nn.gelu(h)
+        h = _gelu(h)
         return nn.Dense(d, dtype=self.dtype, kernel_init=xavier_uniform)(h)
 
 
@@ -146,7 +150,7 @@ class EncLayer(nn.Module):
         h_v_expand = jnp.broadcast_to(h_v[:, :, None, :],
                                       h_ev.shape[:-1] + (d,))
         h_ev = jnp.concatenate([h_v_expand, h_ev], axis=-1)
-        h_message = dense("W3")(nn.gelu(dense("W2")(nn.gelu(dense("W1")(h_ev)))))
+        h_message = dense("W3")(_gelu(dense("W2")(_gelu(dense("W1")(h_ev)))))
         if mask_attend is not None:
             h_message = mask_attend[..., None] * h_message
         dh = jnp.sum(h_message, axis=-2) / self.scale
@@ -161,7 +165,7 @@ class EncLayer(nn.Module):
         h_v_expand = jnp.broadcast_to(h_v[:, :, None, :],
                                       h_ev.shape[:-1] + (d,))
         h_ev = jnp.concatenate([h_v_expand, h_ev], axis=-1)
-        h_message = dense("W13")(nn.gelu(dense("W12")(nn.gelu(dense("W11")(h_ev)))))
+        h_message = dense("W13")(_gelu(dense("W12")(_gelu(dense("W11")(h_ev)))))
         h_e = nn.LayerNorm(dtype=self.dtype, name="norm3")(h_e + drop(h_message))
         return h_v, h_e
 
@@ -185,8 +189,8 @@ class DecLayer(nn.Module):
         h_v_expand = jnp.broadcast_to(h_v[:, :, None, :],
                                       h_e.shape[:-1] + (d,))
         h_ev = jnp.concatenate([h_v_expand, h_e], axis=-1)
-        h_message = dense(d, "W3")(nn.gelu(dense(d, "W2")(
-            nn.gelu(dense(d, "W1")(h_ev)))))
+        h_message = dense(d, "W3")(_gelu(dense(d, "W2")(
+            _gelu(dense(d, "W1")(h_ev)))))
         if mask_attend is not None:
             h_message = mask_attend[..., None] * h_message
 
@@ -194,7 +198,7 @@ class DecLayer(nn.Module):
         de_in = jnp.concatenate([h_message, h_es], axis=-1)
         de = nn.LayerNorm(dtype=self.dtype, name="W_edge_norm")(de_in)
         de = dense(3 * d, "W_edge_fc1")(de)
-        de = nn.gelu(de)
+        de = _gelu(de)
         de = dense(2 * d, "W_edge_fc2")(de)
         h_es_new = nn.LayerNorm(dtype=self.dtype, name="norm_edge")(
             h_es + drop(de))

@@ -22,6 +22,14 @@ import numpy as np
 Dtype = Any
 
 xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def gelu_exact(x):
+    """erf-based GELU (torch nn.GELU default; flax defaults to the tanh
+    approximation — matters for checkpoint-conversion parity)."""
+    import jax
+
+    return jax.nn.gelu(x, approximate=False)
 normal02 = nn.initializers.normal(stddev=0.02)
 zeros_init = nn.initializers.zeros
 
@@ -102,7 +110,7 @@ class LabelEmbedder(nn.Module):
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = staticmethod(gelu_exact)
     dtype: Dtype = jnp.float32
 
     @nn.compact
