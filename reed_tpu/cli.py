@@ -45,7 +45,8 @@ def _mesh_cfg(args):
     return MeshConfig(data=args.dp, fsdp=args.fsdp, tensor=args.tp)
 
 
-def _run_loop(trainer, state, batch_iter, args, samples_per_step):
+def _run_loop(trainer, state, batch_iter, args, samples_per_step,
+              sample_hook=None):
     from reed_tpu.core.logging import MetricLogger
 
     logger = MetricLogger(log_dir=args.ckpt_dir)
@@ -68,6 +69,10 @@ def _run_loop(trainer, state, batch_iter, args, samples_per_step):
                            samples_per_step)
             if ckpt and (i + 1) % args.ckpt_every == 0:
                 ckpt.save(state)
+            if (sample_hook is not None
+                    and getattr(args, "sample_every", 0)
+                    and (i + 1) % args.sample_every == 0):
+                sample_hook(state, int(state.step))
     if ckpt:
         ckpt.save(state, wait=True)
     logger.close()
@@ -109,7 +114,34 @@ def train_image(args):
                                          jax.process_count())
                 epoch += 1
         batches = gen()
-    _run_loop(trainer, state, batches, args, cfg.batch_size)
+
+    def sample_hook(state, step):
+        """In-loop preview sampling (reference: image/train.py:431-454):
+        Euler-sample from EMA weights, save a latent-channel grid."""
+        from reed_tpu.eval.fid import generate_samples, FIDGenConfig
+        from reed_tpu.eval.visualize import save_image_grid
+
+        gen_cfg = FIDGenConfig(num_samples=16, batch_size=16, mode="ode",
+                               num_steps=50, cfg_scale=4.0,
+                               num_classes=cfg.num_classes,
+                               latent_size=cfg.input_size, seed=step)
+
+        def model_fn(params, x, t, y):
+            v, _ = trainer.model.apply({"params": params}, x, t, y,
+                                       train=False)
+            return v
+
+        latents = generate_samples(model_fn, state.ema_params, gen_cfg)
+        # visualize first 3 latent channels as RGB
+        vis = latents[..., :3]
+        vis = (vis - vis.min()) / (vis.max() - vis.min() + 1e-8)
+        out = (vis * 255).astype(np.uint8)
+        path = f"{args.ckpt_dir or '.'}/preview_{step:07d}.png"
+        save_image_grid(path, out)
+        print(f"saved sample preview -> {path}")
+
+    _run_loop(trainer, state, batches, args, cfg.batch_size,
+              sample_hook=sample_hook if args.sample_every else None)
 
 
 def train_protein(args):
@@ -314,6 +346,7 @@ def main(argv=None):
 
     p = sub.add_parser("train-image")
     p.add_argument("--model", default="SiT-B/2")
+    p.add_argument("--sample-every", type=int, default=0)
     _add_common(p)
     p.set_defaults(fn=train_image)
 

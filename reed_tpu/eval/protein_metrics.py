@@ -141,3 +141,66 @@ def parse_pdb_backbone(pdb_path: str) -> np.ndarray:
                 atoms[name]] = xyz
     keys = sorted(residues)
     return np.stack([residues[k] for k in keys])
+
+
+def parse_mmcif_backbone(cif_path: str, chain: Optional[str] = None):
+    """Minimal mmCIF parser: read the _atom_site loop and return
+    (backbone coords [L, 4, 3] for N/CA/C/O, sequence string).
+
+    Replaces the reference's vendored OpenFold mmcif parsing
+    (protein/multiflow/data/mmcif_parsing.py) for the backbone-only use the
+    pipelines need."""
+    atoms = {"N": 0, "CA": 1, "C": 2, "O": 3}
+    aa3to1 = {v: k for k, v in {
+        "A": "ALA", "C": "CYS", "D": "ASP", "E": "GLU", "F": "PHE",
+        "G": "GLY", "H": "HIS", "I": "ILE", "K": "LYS", "L": "LEU",
+        "M": "MET", "N": "ASN", "P": "PRO", "Q": "GLN", "R": "ARG",
+        "S": "SER", "T": "THR", "V": "VAL", "W": "TRP", "Y": "TYR",
+    }.items()}
+
+    header: List[str] = []
+    residues: Dict[tuple, np.ndarray] = {}
+    resnames: Dict[tuple, str] = {}
+    in_loop = False
+    with open(cif_path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("_atom_site."):
+                header.append(line.split(".")[1].strip())
+                in_loop = True
+                continue
+            if in_loop:
+                if line.startswith(("#", "loop_", "_")):
+                    if header and line.startswith("_") \
+                            and not line.startswith("_atom_site."):
+                        in_loop = False
+                    if line.startswith(("#", "loop_")):
+                        in_loop = bool(header) and False
+                    continue
+                parts = line.split()
+                if len(parts) < len(header):
+                    continue
+                row = dict(zip(header, parts))
+                if row.get("group_PDB") not in ("ATOM",):
+                    continue
+                if chain and row.get("auth_asym_id",
+                                     row.get("label_asym_id")) != chain:
+                    continue
+                name = row.get("label_atom_id", "").strip('"')
+                if name not in atoms:
+                    continue
+                try:
+                    seq_id = int(row.get("label_seq_id"))
+                except (TypeError, ValueError):
+                    continue
+                key = (row.get("label_asym_id", "A"), seq_id)
+                residues.setdefault(key, np.full((4, 3), np.nan))[
+                    atoms[name]] = [float(row["Cartn_x"]),
+                                    float(row["Cartn_y"]),
+                                    float(row["Cartn_z"])]
+                resnames[key] = row.get("label_comp_id", "UNK")
+    keys = sorted(residues)
+    coords = np.stack([residues[k] for k in keys]) if keys else \
+        np.zeros((0, 4, 3))
+    seq = "".join(aa3to1.get(resnames[k], "X") for k in keys)
+    return coords, seq

@@ -42,3 +42,36 @@ def test_image_grid(tmp_path):
     from PIL import Image
 
     assert Image.open(tmp_path / "grid.png").size == (16, 16)
+
+
+def test_mmcif_parser(tmp_path):
+    from reed_tpu.eval.protein_metrics import parse_mmcif_backbone
+
+    cif = tmp_path / "x.cif"
+    cif.write_text("""data_test
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.label_asym_id
+_atom_site.label_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.auth_asym_id
+ATOM 1 N ALA A 1 1.0 2.0 3.0 A
+ATOM 2 CA ALA A 1 2.0 2.0 3.0 A
+ATOM 3 C ALA A 1 3.0 2.0 3.0 A
+ATOM 4 O ALA A 1 4.0 2.0 3.0 A
+ATOM 5 N GLY A 2 5.0 2.0 3.0 A
+ATOM 6 CA GLY A 2 6.0 2.0 3.0 A
+ATOM 7 C GLY A 2 7.0 2.0 3.0 A
+ATOM 8 O GLY A 2 8.0 2.0 3.0 A
+HETATM 9 CA HOH A 3 9.0 9.0 9.0 A
+#
+""")
+    coords, seq = parse_mmcif_backbone(str(cif))
+    assert seq == "AG"
+    assert coords.shape == (2, 4, 3)
+    assert coords[0, 1, 0] == 2.0  # CA x of residue 1
