@@ -74,6 +74,52 @@ def gamma_lookup(gamma_table, t, timesteps: int):
     return jnp.take(jnp.asarray(gamma_table), t_int)
 
 
+class GammaNetwork:
+    """Learned monotonic noise schedule (VDM; reference:
+    en_diffusion.py:207-245 GammaNetwork with PositiveLinear layers).
+    Functional: params are a dict pytree trained jointly with the model
+    under the VLB objective."""
+
+    @staticmethod
+    def init_params(hidden: int = 1024, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        return {
+            "l1_w": np.abs(rng.standard_normal((1, 1))).astype(np.float32),
+            "l1_b": np.zeros((1,), np.float32),
+            "l2_w": np.abs(rng.standard_normal((1, hidden)) * 0.1
+                           ).astype(np.float32),
+            "l2_b": np.zeros((hidden,), np.float32),
+            "l3_w": np.abs(rng.standard_normal((hidden, 1)) * 0.01
+                           ).astype(np.float32),
+            "l3_b": np.zeros((1,), np.float32),
+            "gamma_0": np.array([-5.0], np.float32),
+            "gamma_1": np.array([10.0], np.float32),
+        }
+
+    @staticmethod
+    def apply(params, t):
+        """t [...] in [0,1] -> gamma [...]. Positive weights via softplus
+        make gamma_tilde monotonic; endpoints pinned to gamma_0/gamma_1."""
+        def pos(w):
+            return jax.nn.softplus(w)
+
+        def gamma_tilde(tt):
+            tt = tt.reshape(-1, 1)
+            l1 = tt @ pos(params["l1_w"]) + params["l1_b"]
+            h = jax.nn.sigmoid(l1 @ pos(params["l2_w"]) + params["l2_b"])
+            return (l1 + h @ pos(params["l3_w"]) + params["l3_b"])[..., 0]
+
+        t = jnp.asarray(t, jnp.float32)
+        shape = t.shape
+        g_t = gamma_tilde(t)
+        g_0 = gamma_tilde(jnp.zeros((1,)))
+        g_1 = gamma_tilde(jnp.ones((1,)))
+        norm = (g_t - g_0) / (g_1 - g_0)
+        gamma = params["gamma_0"] + (params["gamma_1"]
+                                     - params["gamma_0"]) * norm
+        return gamma.reshape(shape)
+
+
 # --------------------------------------------------------------------------
 # Gaussian helpers (reference: molecule/equivariant_diffusion/utils.py)
 
@@ -131,15 +177,20 @@ class EnVariationalDiffusion:
     """
 
     def __init__(self, cfg: EDMConfig, dynamics_fn: Callable,
-                 dynamics_cfg_fn: Optional[Callable] = None):
+                 dynamics_cfg_fn: Optional[Callable] = None,
+                 gamma_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.dynamics_fn = dynamics_fn
         self.dynamics_cfg_fn = dynamics_cfg_fn
-        self.gamma_table = make_gamma_table(cfg.noise_schedule, cfg.timesteps,
-                                            cfg.noise_precision)
+        self.gamma_fn = gamma_fn       # learned schedule (GammaNetwork.apply)
+        if gamma_fn is None:
+            self.gamma_table = make_gamma_table(
+                cfg.noise_schedule, cfg.timesteps, cfg.noise_precision)
 
     # -- schedule helpers ---------------------------------------------------
     def gamma(self, t):
+        if self.gamma_fn is not None:
+            return self.gamma_fn(t)
         return gamma_lookup(self.gamma_table, t, self.cfg.timesteps)
 
     @staticmethod

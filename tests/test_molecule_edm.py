@@ -141,3 +141,36 @@ def test_edm_cfg_sampling_runs():
                                      batch["node_mask"], batch["edge_mask"],
                                      rep=batch["rep"], cfg_scale=1.5)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_gamma_network_monotonic_and_pinned():
+    from reed_tpu.diffusion.edm import GammaNetwork
+
+    params = jax.tree.map(jnp.asarray, GammaNetwork.init_params(hidden=32))
+    t = jnp.linspace(0, 1, 64)
+    g = GammaNetwork.apply(params, t)
+    assert np.all(np.diff(np.asarray(g)) >= -1e-5)  # monotone increasing
+    assert float(g[0]) == pytest.approx(-5.0, abs=1e-4)
+    assert float(g[-1]) == pytest.approx(10.0, abs=1e-4)
+
+
+def test_edm_with_learned_gamma():
+    from reed_tpu.diffusion.edm import EnVariationalDiffusion, GammaNetwork
+
+    gparams = jax.tree.map(jnp.asarray, GammaNetwork.init_params(hidden=16))
+    cfg = EDMConfig(timesteps=20, in_node_nf=5, loss_type="vlb")
+    edm = EnVariationalDiffusion(
+        cfg, lambda t, z, nm, em, c, r, rng, train: jnp.zeros_like(z),
+        gamma_fn=lambda t: GammaNetwork.apply(gparams, t))
+    mask = jnp.ones((2, 4, 1))
+    diag = jnp.eye(4)[None, :, :, None]
+    em = mask[:, :, None] * mask[:, None] * (1 - diag)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 4, 3))
+    from reed_tpu.models.egnn import remove_mean_with_mask
+
+    x = remove_mean_with_mask(x, mask)
+    h_cat = jax.nn.one_hot(jnp.zeros((2, 4), jnp.int32), 4) * mask
+    h_int = jnp.ones((2, 4, 1)) * mask
+    nll, _ = edm.loss(rng, x, h_cat, h_int, mask, em, train=False)
+    assert np.all(np.isfinite(np.asarray(nll)))
