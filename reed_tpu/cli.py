@@ -205,6 +205,25 @@ def train_molecule_semla(args):
     _run_loop(trainer, state, gen(), args, cfg.batch_size)
 
 
+def train_multiflow(args):
+    from reed_tpu.core.config import OptimConfig
+    from reed_tpu.train.multiflow import MultiflowTrainConfig, MultiflowTrainer
+
+    cfg = MultiflowTrainConfig(batch_size=args.batch_size or 4,
+                               optim=OptimConfig(lr=args.lr or 1e-4),
+                               mesh=_mesh_cfg(args), seed=args.seed)
+    trainer = MultiflowTrainer(cfg)
+    state = trainer.init_state()
+
+    def gen():
+        i = 0
+        while True:
+            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+            i += 1
+
+    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+
+
 def train_rdm(args):
     from reed_tpu.core.config import OptimConfig
     from reed_tpu.eval.rep_samplers import DDIMRepSampler
@@ -361,6 +380,10 @@ def main(argv=None):
     p = sub.add_parser("train-molecule-semla")
     _add_common(p)
     p.set_defaults(fn=train_molecule_semla)
+
+    p = sub.add_parser("train-multiflow")
+    _add_common(p)
+    p.set_defaults(fn=train_multiflow)
 
     p = sub.add_parser("train-rdm")
     _add_common(p)
