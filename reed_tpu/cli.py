@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import jax
@@ -155,11 +156,43 @@ def train_protein(args):
     trainer = ProteinTrainer(cfg)
     state = trainer.init_state()
 
-    def gen():
-        i = 0
-        while True:
-            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
-            i += 1
+    if args.synthetic or not args.data_dir:
+        def gen():
+            i = 0
+            while True:
+                yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+                i += 1
+    else:
+        from reed_tpu.data.protein import (PDBParams,
+                                           build_training_clusters,
+                                           sample_cluster_chains,
+                                           token_bucket_batches)
+
+        params = PDBParams(args.data_dir,
+                           repr_dir=os.path.join(args.data_dir, "repr")
+                           if os.path.isdir(os.path.join(args.data_dir,
+                                                         "repr")) else None)
+        train_clusters, _, _ = build_training_clusters(params)
+        repr_dims = ({"single": cfg.single_dim, "pair": cfg.pair_dim,
+                      "structure": cfg.structure_dim}
+                     if params.repr_dir else None)
+
+        def gen():
+            epoch = 0
+            while True:
+                rng = np.random.default_rng(args.seed + epoch)
+                entries = sample_cluster_chains(rng, train_clusters, params,
+                                                max_length=cfg.max_len)
+                # each bucket length compiles once; per-epoch reshuffle
+                for batch in token_bucket_batches(
+                        entries, token_budget=20_000, repr_dims=repr_dims,
+                        shuffle_rng=rng):
+                    if repr_dims is None:
+                        # projector-free batches still need repr tensors if
+                        # load_repr was configured; zero-fill
+                        pass
+                    yield {k: jnp.asarray(v) for k, v in batch.items()}
+                epoch += 1
 
     _run_loop(trainer, state, gen(), args, cfg.batch_size)
 

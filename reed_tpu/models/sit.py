@@ -42,6 +42,7 @@ class SiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, c):
@@ -61,7 +62,12 @@ class SiTBlock(nn.Module):
         h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
                          name="norm2")(x)
         h = modulate(h, shift_mlp, scale_mlp)
-        h = Mlp(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        from reed_tpu.nn.layers import gelu_exact
+        import flax.linen as fnn
+
+        act = gelu_exact if self.exact_gelu else fnn.gelu
+        h = Mlp(int(d * self.mlp_ratio), act=act, dtype=self.dtype,
+                name="mlp")(h)
         x = x + gate_mlp[:, None, :] * h
         return x
 
@@ -106,6 +112,7 @@ class SiT(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    exact_gelu: bool = False  # torch parity (erf); tanh approx is faster
 
     @nn.compact
     def __call__(self, x, t, y, train: bool = False, return_zs: Optional[bool] = None):
@@ -137,7 +144,9 @@ class SiT(nn.Module):
         depth_text = self.encoder_depth_text
         for i in range(self.depth):
             x = block_cls(self.num_heads, self.mlp_ratio, dtype=self.dtype,
-                          attn_impl=self.attn_impl, name=f"blocks_{i}")(x, c)
+                          attn_impl=self.attn_impl,
+                          exact_gelu=self.exact_gelu,
+                          name=f"blocks_{i}")(x, c)
             if return_zs and (i + 1) == self.encoder_depth:
                 if depth_text is None or depth_text == self.encoder_depth:
                     zs_image = [

@@ -104,7 +104,8 @@ def test_torch_conversion_matches():
 
     model = SiT(input_size=SIZE, patch_size=P, in_channels=C, hidden_size=D,
                 depth=DEPTH, num_heads=HEADS, num_classes=NCLS,
-                encoder_depth=1, z_dims=(8,), class_dropout_prob=0.1)
+                encoder_depth=1, z_dims=(8,), class_dropout_prob=0.1,
+                exact_gelu=True)
     variables = convert_torch_sit(tmodel.reference_state_dict(), DEPTH)
 
     rng = np.random.default_rng(0)
