@@ -94,3 +94,25 @@ def epoch_batches(dataset: CachedLatentDataset, batch_size: int, seed: int,
         if "z_text" in stacked:
             zs.append(stacked["z_text"])
         yield {"x": x, "y": stacked["y"], "zs": zs}
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffered host->device transfer: keeps `size` batches in flight
+    so the TPU never waits on the host pipeline (the overlap the reference
+    gets from DataLoader workers + CUDA streams; SURVEY.md §7.4 item 7)."""
+    import collections
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

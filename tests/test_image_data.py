@@ -76,3 +76,15 @@ def test_epoch_batches_sharded(dataset_dir):
     s0 = {float(b["x"].sum()) for b in b0}
     s1 = {float(b["x"].sum()) for b in b1}
     assert s0 != s1
+
+
+def test_prefetch_to_device(dataset_dir):
+    import jax
+
+    from reed_tpu.data.image import prefetch_to_device
+
+    ds = CachedLatentDataset(ImageDatasetConfig(dataset_dir))
+    it = epoch_batches(ds, 2, seed=0)
+    batches = list(prefetch_to_device(it, size=2))
+    assert len(batches) == 4
+    assert isinstance(batches[0]["x"], jax.Array)

@@ -150,3 +150,51 @@ def test_semla_generation_runs():
     assert np.all(np.isfinite(np.asarray(out["coords"])))
     # atomics are probabilities
     assert np.allclose(np.asarray(out["atomics"].sum(-1)), 1.0, atol=1e-4)
+
+
+def test_integrator_mask_strategy_unmasks():
+    from reed_tpu.diffusion.molecule_fm import IntegratorConfig, integrator_step
+
+    cfg = IntegratorConfig(steps=10, type_strategy="mask",
+                           bond_strategy="mask", type_mask_index=0,
+                           bond_mask_index=0)
+    b, n, v, e = 2, 6, 5, 4
+    rng = jax.random.PRNGKey(0)
+    mask = jnp.ones((b, n))
+    curr = {
+        "coords": jnp.zeros((b, n, 3)),
+        "atomics": jax.nn.one_hot(jnp.zeros((b, n), jnp.int32), v),  # masked
+        "bonds": jax.nn.one_hot(jnp.zeros((b, n, n), jnp.int32), e),
+        "mask": mask,
+    }
+    predicted = {
+        "coords": jnp.ones((b, n, 3)),
+        "atomics": jax.nn.one_hot(jnp.full((b, n), 2, jnp.int32), v),
+        "bonds": jax.nn.one_hot(jnp.full((b, n, n), 1, jnp.int32), e),
+    }
+    prior = curr
+    # large step size from t=0 -> everything unmasks to the prediction
+    out = integrator_step(rng, cfg, curr, predicted, prior,
+                          jnp.zeros((b,)), step_size=0.99)
+    assert float((out["atomics"].argmax(-1) == 2).mean()) > 0.9
+    assert out["coords"].shape == (b, n, 3)
+
+
+def test_integrator_linear_strategy_moves_toward_prediction():
+    from reed_tpu.diffusion.molecule_fm import IntegratorConfig, integrator_step
+
+    cfg = IntegratorConfig(steps=10, type_strategy="linear",
+                           bond_strategy="linear")
+    b, n, v, e = 1, 4, 5, 4
+    rng = jax.random.PRNGKey(0)
+    uniform = jnp.full((b, n, v), 1.0 / v)
+    curr = {"coords": jnp.zeros((b, n, 3)), "atomics": uniform,
+            "bonds": jnp.full((b, n, n, e), 1.0 / e),
+            "mask": jnp.ones((b, n))}
+    target = jax.nn.one_hot(jnp.full((b, n), 3, jnp.int32), v)
+    predicted = {"coords": jnp.ones((b, n, 3)), "atomics": target,
+                 "bonds": jnp.full((b, n, n, e), 1.0 / e)}
+    out = integrator_step(rng, cfg, curr, predicted, curr,
+                          jnp.zeros((b,)), step_size=0.5)
+    # mass on class 3 increased
+    assert float(out["atomics"][..., 3].mean()) > 1.0 / v
