@@ -36,6 +36,7 @@ from reed_tpu.parallel import mesh as meshlib
 
 @dataclass(frozen=True)
 class SemlaTrainConfig:
+    arch: str = "semla"              # semla | egnn | eqgat (train.py:120-160)
     vocab_size: int = 18
     n_bond_types: int = 5
     n_charge_types: int = 7
@@ -74,7 +75,29 @@ class SemlaTrainConfig:
     seed: int = 0
 
 
-def build_model(cfg: SemlaTrainConfig) -> SemlaGenerator:
+def build_model(cfg: SemlaTrainConfig):
+    if cfg.arch == "egnn":
+        from reed_tpu.models.semla_alt import VanillaEgnnGenerator
+
+        return VanillaEgnnGenerator(
+            d_model=cfg.d_model, vocab_size=cfg.vocab_size,
+            n_atom_feats=cfg.vocab_size, d_edge=cfg.d_edge,
+            n_edge_types=cfg.n_bond_types,
+            n_charge_types=cfg.n_charge_types, n_layers=cfg.n_layers,
+            self_cond=cfg.self_cond, d_rep=cfg.d_rep,
+            rep_alignment=cfg.rep_alignment,
+            align_depth=tuple(cfg.align_depth),
+            dtype=jnp.dtype(cfg.compute_dtype))
+    if cfg.arch == "eqgat":
+        from reed_tpu.models.semla_alt import EqgatGenerator
+
+        return EqgatGenerator(
+            d_model=cfg.d_model, vocab_size=cfg.vocab_size,
+            n_atom_feats=cfg.vocab_size, d_edge=cfg.d_edge,
+            n_edge_types=cfg.n_bond_types,
+            n_charge_types=cfg.n_charge_types, n_layers=cfg.n_layers,
+            self_cond=cfg.self_cond, d_rep=cfg.d_rep,
+            dtype=jnp.dtype(cfg.compute_dtype))
     return SemlaGenerator(
         d_model=cfg.d_model,
         vocab_size=cfg.vocab_size,

@@ -64,3 +64,28 @@ def test_vanilla_alignment_projectors():
     *_, zs = model.apply(variables, coords, atomics, edge_feats=bonds,
                          atom_mask=mask, rep=rep)
     assert len(zs) == 2 and zs[0].shape == (2, 8)
+
+
+def test_semla_trainer_arch_switch():
+    from reed_tpu.core.config import MeshConfig, OptimConfig
+    from reed_tpu.diffusion.molecule_fm import (IntegratorConfig,
+                                                MoleculeInterpolantConfig,
+                                                MoleculePriorConfig)
+    from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+    cfg = SemlaTrainConfig(
+        arch="egnn", vocab_size=6, n_bond_types=4, n_charge_types=3,
+        max_atoms=16, d_model=24, n_layers=2, d_edge=8, d_rep=8,
+        rep_alignment=True, align_depth=(1,), self_cond=True,
+        integrator=IntegratorConfig(steps=4),
+        interpolant=MoleculeInterpolantConfig(
+            prior=MoleculePriorConfig(vocab_size=6, n_bond_types=4)),
+        batch_size=2, optim=OptimConfig(lr=1e-3),
+        mesh=MeshConfig(data=1))
+    trainer = SemlaTrainer(cfg)
+    state = trainer.init_state()
+    batch = jax.tree.map(jnp.asarray, trainer.example_batch(2, 8, seed=0))
+    with trainer.mesh:
+        state, metrics = trainer.train_step(state, batch,
+                                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
