@@ -38,6 +38,8 @@ def _add_common(p):
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 3-8")
 
 
 def _mesh_cfg(args):
@@ -60,11 +62,19 @@ def _run_loop(trainer, state, batch_iter, args, samples_per_step,
         if ckpt.latest_step() is not None:
             state = ckpt.restore(jax.eval_shape(lambda: state))
             print(f"resumed from step {int(state.step)}")
+    profile_dir = getattr(args, "profile_dir", None)
     with trainer.mesh:
         for i in range(args.steps):
+            if profile_dir and i == 2:
+                jax.profiler.start_trace(profile_dir)
             batch = next(batch_iter)
             state, metrics = trainer.train_step(state, batch,
                                                 trainer.train_rng)
+            if profile_dir and i == 7:
+                jax.device_get(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace -> {profile_dir}")
+                profile_dir = None
             if (i + 1) % args.log_every == 0:
                 logger.log(jax.device_get(metrics), int(state.step),
                            samples_per_step)
