@@ -63,18 +63,22 @@ def _run_loop(trainer, state, batch_iter, args, samples_per_step,
             state = ckpt.restore(jax.eval_shape(lambda: state))
             print(f"resumed from step {int(state.step)}")
     profile_dir = getattr(args, "profile_dir", None)
+    profile_start = min(2, max(0, args.steps - 2))
+    profile_stop = min(7, args.steps - 1)  # always stop before the loop ends
+    profiling = False
     with trainer.mesh:
         for i in range(args.steps):
-            if profile_dir and i == 2:
+            if profile_dir and i == profile_start and not profiling:
                 jax.profiler.start_trace(profile_dir)
+                profiling = True
             batch = next(batch_iter)
             state, metrics = trainer.train_step(state, batch,
                                                 trainer.train_rng)
-            if profile_dir and i == 7:
+            if profiling and i >= profile_stop:
                 jax.device_get(metrics["loss"])
                 jax.profiler.stop_trace()
                 print(f"profiler trace -> {profile_dir}")
-                profile_dir = None
+                profiling = False
             if (i + 1) % args.log_every == 0:
                 logger.log(jax.device_get(metrics), int(state.step),
                            samples_per_step)

@@ -36,28 +36,43 @@ def make_train_step(
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,
     curriculum: CurriculumConfig,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build `train_step(state, batch, rng) -> (state, metrics)`.
 
     loss_fn(params, batch, rng, step) -> metrics dict (with at least
     'denoising_loss'; 'proj_loss' defaults to 0 when absent).
+
+    With gradient accumulation (optax.MultiSteps, accum_steps > 1) `state.step`
+    counts micro-steps; curriculum schedules see the *optimizer* step
+    (step // accum_steps) and EMA only moves on the micro-step where MultiSteps
+    applies the accumulated update, matching the reference's per-optimizer-step
+    semantics (image/train.py grad-accum via accelerate).
     """
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        opt_step = state.step // accum_steps
 
         def total_loss(params):
-            metrics = loss_fn(params, batch, step_rng, state.step)
+            metrics = loss_fn(params, batch, step_rng, opt_step)
             if "proj_loss" not in metrics:
                 metrics = dict(metrics, proj_loss=jnp.zeros(()))
-            total, sched = combine_losses(metrics, state.step, curriculum)
+            total, sched = combine_losses(metrics, opt_step, curriculum)
             return total, {**metrics, **sched}
 
         (loss, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)(
             state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema_params = ema_update(state.ema_params, params, curriculum.ema_decay)
+        if accum_steps > 1:
+            # MultiSteps applies the real update on the micro-step where its
+            # mini_step wraps to 0; freeze EMA (decay=1) on the others.
+            applied = (state.step % accum_steps) == accum_steps - 1
+            decay = jnp.where(applied, curriculum.ema_decay, 1.0)
+        else:
+            decay = curriculum.ema_decay
+        ema_params = ema_update(state.ema_params, params, decay)
         metrics = dict(metrics, loss=loss,
                        grad_norm=optax.global_norm(grads))
         new_state = TrainState(step=state.step + 1, params=params,

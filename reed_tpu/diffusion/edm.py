@@ -438,9 +438,11 @@ class EnVariationalDiffusion:
         xh = mu_x + sigma_x * eps
         x = xh[:, :, :nd]
         inc = self.cfg.include_charges
+        # h_cat/h_int decode from z0, not the resampled xh (reference
+        # en_diffusion.py:501-502); resampling noise can flip argmax types.
         h_int_z = z0[:, :, -1:] if inc else jnp.zeros_like(z0[:, :, :0])
         x, h_cat, h_int = self.unnormalize(
-            x, xh[:, :, nd:nd + self.cfg.in_node_nf - int(inc)], h_int_z,
+            x, z0[:, :, nd:nd + self.cfg.in_node_nf - int(inc)], h_int_z,
             node_mask)
         num_classes = self.cfg.in_node_nf - int(inc)
         h_cat = jax.nn.one_hot(jnp.argmax(h_cat, axis=2),

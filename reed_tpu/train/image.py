@@ -40,6 +40,7 @@ class ImageTrainConfig:
     compute_dtype: str = "bfloat16"
     attn_impl: str = "auto"
     remat: bool = False
+    exact_gelu: bool = False  # erf GELU, required for torch-checkpoint parity
     batch_size: int = 256
     loss: FlowMatchingLossConfig = FlowMatchingLossConfig()
     optim: OptimConfig = OptimConfig(lr=1e-4)
@@ -63,6 +64,7 @@ def build_model(cfg: ImageTrainConfig) -> SiT:
         dtype=jnp.dtype(cfg.compute_dtype),
         attn_impl=cfg.attn_impl,
         remat=cfg.remat,
+        exact_gelu=cfg.exact_gelu,
     )
 
 
@@ -95,7 +97,8 @@ class ImageTrainer:
         self.init_rng, self.train_rng = jax.random.split(rng)
 
         loss_fn = make_loss_fn(self.model, cfg.loss)
-        step_fn = make_train_step(loss_fn, self.optimizer, cfg.curriculum)
+        step_fn = make_train_step(loss_fn, self.optimizer, cfg.curriculum,
+                                  accum_steps=cfg.optim.accum_steps)
 
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
         param_sharding = meshlib.shard_params(

@@ -149,7 +149,8 @@ class MoleculeEDMTrainer:
         self.init_rng, self.train_rng = jax.random.split(rng)
 
         step_fn = make_train_step(make_loss_fn(self.model, cfg),
-                                  self.optimizer, cfg.curriculum)
+                                  self.optimizer, cfg.curriculum,
+                                  accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
         param_sharding = meshlib.shard_params(abstract_state.params, self.mesh)
         rep = meshlib.replicated(self.mesh)

@@ -133,8 +133,9 @@ def semla_losses(cfg: SemlaTrainConfig, data, interpolated, predicted,
     pred_logits = predicted["atomics"]
     if cfg.type_strategy == "mse":
         type_loss = ((pred_logits - data["atomics"]) ** 2)
-        type_loss = (type_loss * mask2).sum(axis=(1, 2)) \
-            / (mask.sum(-1) * pred_logits.shape[-1] + eps)
+        # reference _type_loss sums over the vocab dim and divides by n_atoms
+        # only (fm.py:853-858) — no vocab-size factor in the denominator
+        type_loss = (type_loss * mask2).sum(axis=(1, 2)) / (mask.sum(-1) + eps)
     else:
         labels = jnp.argmax(data["atomics"], axis=-1)
         logp = jax.nn.log_softmax(pred_logits, axis=-1)
@@ -258,7 +259,8 @@ class SemlaTrainer:
                                           cfg.curriculum.diffusion_warmup_steps),
         })
         step_fn = make_train_step(make_loss_fn(self.model, cfg),
-                                  self.optimizer, curriculum)
+                                  self.optimizer, curriculum,
+                                  accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
         param_sharding = meshlib.shard_params(abstract_state.params, self.mesh)
         rep = meshlib.replicated(self.mesh)

@@ -161,7 +161,8 @@ class MultiflowTrainer:
         curriculum = CurriculumConfig(proj_coeff=0.0,
                                       diffusion_warmup_steps=0,
                                       max_steps=cfg.optim.total_steps)
-        step_fn = make_train_step(loss_fn, self.optimizer, curriculum)
+        step_fn = make_train_step(loss_fn, self.optimizer, curriculum,
+                                  accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
         param_sharding = meshlib.shard_params(abstract_state.params, self.mesh)
         rep = meshlib.replicated(self.mesh)

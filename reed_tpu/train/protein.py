@@ -151,7 +151,8 @@ class ProteinTrainer:
             curriculum = CurriculumConfig(
                 **{**curriculum.__dict__, "proj_coeff": cfg.repr_weight})
         step_fn = make_train_step(make_loss_fn(self.model, cfg),
-                                  self.optimizer, curriculum)
+                                  self.optimizer, curriculum,
+                                  accum_steps=cfg.optim.accum_steps)
 
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
         param_sharding = meshlib.shard_params(abstract_state.params, self.mesh)

@@ -133,3 +133,37 @@ def test_grad_accumulation():
     # first micro-step: accumulation only, params unchanged
     assert np.allclose(p0, p1)
     assert not np.allclose(p1, p2)
+
+
+def test_grad_accumulation_ema_and_curriculum_gating():
+    """EMA must not decay on accumulation-only micro-steps, and curriculum
+    schedules must see the optimizer step (micro // k), matching the
+    reference's per-optimizer-step semantics."""
+    cfg = TINY.__class__(**{
+        **TINY.__dict__,
+        "optim": OptimConfig(lr=1e-3, accum_steps=2),
+        "curriculum": CurriculumConfig(proj_coeff=1.0,
+                                       start_diffusion_steps=1,
+                                       diffusion_warmup_steps=0,
+                                       max_steps=100, ema_decay=0.5),
+        "mesh": MeshConfig(data=1, fsdp=1, tensor=1),
+    })
+    trainer = ImageTrainer(cfg)
+    state = trainer.init_state()
+    batch = trainer.synthetic_batch()
+    e0 = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    with trainer.mesh:
+        state, m0 = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+        e1 = np.asarray(jax.tree.leaves(state.ema_params)[0])
+        state, m1 = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+        e2 = np.asarray(jax.tree.leaves(state.ema_params)[0])
+        state, m2 = trainer.train_step(state, batch, jax.random.PRNGKey(0))
+    # micro-step 0 (accumulate only): EMA frozen
+    assert np.allclose(e0, e1)
+    # micro-step 1 (optimizer applies): EMA moves once
+    assert not np.allclose(e1, e2)
+    # curriculum: micro-steps 0 and 1 are optimizer step 0 (< start ->
+    # diffusion off); micro-step 2 is optimizer step 1 (diffusion on)
+    assert float(m0["diffusion_decay"]) == 0.0
+    assert float(m1["diffusion_decay"]) == 0.0
+    assert float(m2["diffusion_decay"]) > 0.0
