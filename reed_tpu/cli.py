@@ -34,25 +34,66 @@ def _add_common(p):
     p.add_argument("--ckpt-every", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--lr", type=float, default=None)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dp", type=int, default=None)
-    p.add_argument("--fsdp", type=int, default=1)
-    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=None)
+    p.add_argument("--tp", type=int, default=None)
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 3-8")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config tree (full or partial TrainConfig)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY=VALUE",
+                   help="dotted-path config override, e.g. optim.lr=3e-4 or "
+                        "loss.enc_names='[\"dinov2\",\"qwen2vl\"]'")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "runs (TPU pods; reads cluster env)")
 
 
-def _mesh_cfg(args):
-    from reed_tpu.core.config import MeshConfig
+def _resolve_cfg(cls, args, defaults=None):
+    """defaults <- --config file <- explicit legacy flags <- --set."""
+    from reed_tpu.core import configlib
 
-    return MeshConfig(data=args.dp, fsdp=args.fsdp, tensor=args.tp)
+    cfg = configlib.build(cls, defaults or {})
+    if args.config:
+        cfg = configlib.merge(cfg, configlib.load_file(args.config))
+    legacy = {}
+    if getattr(args, "model", None) is not None:
+        legacy["model"] = args.model
+    if args.batch_size is not None:
+        legacy["batch_size"] = args.batch_size
+    if args.lr is not None:
+        legacy["optim"] = {"lr": args.lr}
+    if args.seed is not None:
+        legacy["seed"] = args.seed
+    mesh = {k: v for k, v in
+            {"data": args.dp, "fsdp": args.fsdp, "tensor": args.tp}.items()
+            if v is not None}
+    if mesh:
+        legacy["mesh"] = mesh
+    if legacy:
+        cfg = configlib.merge(cfg, legacy)
+    if args.overrides:
+        cfg = configlib.apply_overrides(cfg, args.overrides)
+    if getattr(args, "distributed", False):
+        jax.distributed.initialize()
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+    return cfg
 
 
 def _run_loop(trainer, state, batch_iter, args, samples_per_step,
-              sample_hook=None):
+              sample_hook=None, cfg=None):
     from reed_tpu.core.logging import MetricLogger
 
     logger = MetricLogger(log_dir=args.ckpt_dir)
+    if cfg is not None and args.ckpt_dir and jax.process_index() == 0:
+        from reed_tpu.core import configlib
+
+        path = configlib.snapshot(cfg, args.ckpt_dir)
+        print(f"config snapshot -> {path}")
     ckpt = None
     if args.ckpt_dir and args.ckpt_every:
         from reed_tpu.core.checkpoint import CheckpointManager
@@ -94,18 +135,43 @@ def _run_loop(trainer, state, batch_iter, args, samples_per_step,
     return state
 
 
+def _find_split(data_dir: str, split: str) -> str:
+    """Locate a split file: <dir>/<split>.(rsmol|npz) or <dir> itself."""
+    if os.path.isfile(data_dir):
+        return data_dir
+    for ext in (".rsmol", ".npz"):
+        p = os.path.join(data_dir, split + ext)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"no {split}.rsmol or {split}.npz under {data_dir}")
+
+
+def _load_reps(data_dir: str, d_rep, n: int):
+    """Precomputed frozen-encoder reps aligned with the dataset (written by
+    tools/precompute_*; reference computes them per batch from the frozen
+    torch encoder, semlaflow/train.py:300-330). Zero-fills with a warning
+    when the reps file is absent so smoke runs stay possible."""
+    if d_rep is None:
+        return None
+    if os.path.isfile(data_dir):
+        data_dir = os.path.dirname(data_dir)
+    for name in ("reps.npy", "train_reps.npy"):
+        p = os.path.join(data_dir, name)
+        if os.path.exists(p):
+            reps = np.load(p)
+            assert len(reps) == n, (len(reps), n)
+            assert reps.shape[1] == d_rep, (reps.shape, d_rep)
+            return reps.astype(np.float32)
+    print(f"WARNING: no reps.npy in {data_dir}; rep conditioning/alignment "
+          f"will see zeros (train with d_rep=null to silence)")
+    return np.zeros((n, d_rep), np.float32)
+
+
 def train_image(args):
-    from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
-    from reed_tpu.core.config import OptimConfig
     from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
 
-    cfg = ImageTrainConfig(
-        model=args.model,
-        batch_size=args.batch_size or 256,
-        optim=OptimConfig(lr=args.lr or 1e-4),
-        mesh=_mesh_cfg(args),
-        seed=args.seed,
-    )
+    cfg = _resolve_cfg(ImageTrainConfig, args)
     trainer = ImageTrainer(cfg)
     state = trainer.init_state()
     if args.synthetic or not args.data_dir:
@@ -124,15 +190,24 @@ def train_image(args):
         def gen():
             epoch = 0
             while True:
-                yield from epoch_batches(ds, cfg.batch_size, args.seed + epoch,
+                yield from epoch_batches(ds, cfg.batch_size, cfg.seed + epoch,
                                          jax.process_index(),
                                          jax.process_count())
                 epoch += 1
         batches = gen()
 
+    decode_fn = None
+    if args.sample_every:
+        from reed_tpu.eval.fid import make_vae_decode_fn
+
+        decode_fn = make_vae_decode_fn(getattr(args, "vae", None),
+                                       latent_size=cfg.input_size,
+                                       latent_channels=cfg.in_channels)
+
     def sample_hook(state, step):
         """In-loop preview sampling (reference: image/train.py:431-454):
-        Euler-sample from EMA weights, save a latent-channel grid."""
+        Euler-sample from EMA weights, VAE-decode to pixels when a decoder
+        is available (latent-channel grid otherwise)."""
         from reed_tpu.eval.fid import generate_samples, FIDGenConfig
         from reed_tpu.eval.visualize import save_image_grid
 
@@ -146,27 +221,26 @@ def train_image(args):
                                        train=False)
             return v
 
-        latents = generate_samples(model_fn, state.ema_params, gen_cfg)
-        # visualize first 3 latent channels as RGB
-        vis = latents[..., :3]
-        vis = (vis - vis.min()) / (vis.max() - vis.min() + 1e-8)
-        out = (vis * 255).astype(np.uint8)
+        out = generate_samples(model_fn, state.ema_params, gen_cfg,
+                               decode_fn=decode_fn)
+        if decode_fn is None:
+            # visualize first 3 latent channels as RGB
+            vis = out[..., :3]
+            vis = (vis - vis.min()) / (vis.max() - vis.min() + 1e-8)
+            out = (vis * 255).astype(np.uint8)
         path = f"{args.ckpt_dir or '.'}/preview_{step:07d}.png"
         save_image_grid(path, out)
         print(f"saved sample preview -> {path}")
 
     _run_loop(trainer, state, batches, args, cfg.batch_size,
-              sample_hook=sample_hook if args.sample_every else None)
+              sample_hook=sample_hook if args.sample_every else None,
+              cfg=cfg)
 
 
 def train_protein(args):
-    from reed_tpu.core.config import OptimConfig
     from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
 
-    cfg = ProteinTrainConfig(batch_size=args.batch_size or 8,
-                             optim=OptimConfig(lr=args.lr or 1e-3,
-                                               grad_clip=1.0),
-                             mesh=_mesh_cfg(args), seed=args.seed)
+    cfg = _resolve_cfg(ProteinTrainConfig, args)
     trainer = ProteinTrainer(cfg)
     state = trainer.init_state()
 
@@ -187,109 +261,172 @@ def train_protein(args):
                            if os.path.isdir(os.path.join(args.data_dir,
                                                          "repr")) else None)
         train_clusters, _, _ = build_training_clusters(params)
-        repr_dims = ({"single": cfg.single_dim, "pair": cfg.pair_dim,
-                      "structure": cfg.structure_dim}
-                     if params.repr_dir else None)
+        # the trainer schema always carries repr tensors; featurize
+        # zero-fills them when the AF3 embedding dir is absent (alignment
+        # then sees zeros — train with --set load_repr=false in that case)
+        repr_dims = {"single": cfg.single_dim, "pair": cfg.pair_dim,
+                     "structure": cfg.structure_dim}
+        if params.repr_dir is None and cfg.load_repr:
+            print("WARNING: no repr/ dir under --data-dir; AF3 alignment "
+                  "targets are zero-filled")
 
         def gen():
             epoch = 0
             while True:
-                rng = np.random.default_rng(args.seed + epoch)
+                rng = np.random.default_rng((args.seed or 0) + epoch)
                 entries = sample_cluster_chains(rng, train_clusters, params,
                                                 max_length=cfg.max_len)
                 # each bucket length compiles once; per-epoch reshuffle
                 for batch in token_bucket_batches(
-                        entries, token_budget=20_000, repr_dims=repr_dims,
-                        shuffle_rng=rng):
-                    if repr_dims is None:
-                        # projector-free batches still need repr tensors if
-                        # load_repr was configured; zero-fill
-                        pass
+                        entries, token_budget=args.token_budget,
+                        repr_dims=repr_dims, shuffle_rng=rng):
                     yield {k: jnp.asarray(v) for k, v in batch.items()}
                 epoch += 1
 
-    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+    _run_loop(trainer, state, gen(), args, cfg.batch_size, cfg=cfg)
 
 
 def train_molecule_edm(args):
-    from reed_tpu.core.config import OptimConfig
     from reed_tpu.train.molecule_edm import (MoleculeEDMConfig,
                                              MoleculeEDMTrainer)
 
-    cfg = MoleculeEDMConfig(batch_size=args.batch_size or 64,
-                            optim=OptimConfig(lr=args.lr or 1e-4),
-                            mesh=_mesh_cfg(args), seed=args.seed)
+    cfg = _resolve_cfg(MoleculeEDMConfig, args)
     trainer = MoleculeEDMTrainer(cfg)
     state = trainer.init_state()
 
-    def gen():
-        i = 0
-        while True:
-            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
-            i += 1
+    if args.synthetic or not args.data_dir:
+        def gen():
+            i = 0
+            while True:
+                yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+                i += 1
+    else:
+        from reed_tpu.data.molecule import edm_epoch_batches, load_qm9_edm_npz
 
-    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+        data = load_qm9_edm_npz(_find_split(args.data_dir, "train"))
+        reps = _load_reps(args.data_dir, cfg.rep_nf, len(data["positions"]))
+
+        def gen():
+            epoch = 0
+            while True:
+                rng = np.random.default_rng((args.seed or 0) + epoch)
+                yield from edm_epoch_batches(
+                    data, cfg.batch_size, rng, reps=reps,
+                    max_nodes=cfg.max_nodes,
+                    num_atom_types=cfg.num_atom_types,
+                    include_charges=cfg.include_charges)
+                epoch += 1
+
+    _run_loop(trainer, state, gen(), args, cfg.batch_size, cfg=cfg)
 
 
 def train_molecule_semla(args):
-    from reed_tpu.core.config import OptimConfig
     from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
 
-    cfg = SemlaTrainConfig(batch_size=args.batch_size or 64,
-                           optim=OptimConfig(lr=args.lr or 3e-4),
-                           mesh=_mesh_cfg(args), seed=args.seed)
+    cfg = _resolve_cfg(SemlaTrainConfig, args)
     trainer = SemlaTrainer(cfg)
     state = trainer.init_state()
 
-    def gen():
-        i = 0
-        while True:
-            yield jax.tree.map(jnp.asarray,
-                               trainer.example_batch(cfg.batch_size, 32,
-                                                     seed=i))
-            i += 1
+    if args.synthetic or not args.data_dir:
+        def gen():
+            i = 0
+            while True:
+                yield jax.tree.map(jnp.asarray,
+                                   trainer.example_batch(cfg.batch_size, 32,
+                                                         seed=i))
+                i += 1
+        samples_per_step = cfg.batch_size
+    else:
+        from reed_tpu.data.molecule import (load_dataset, mol_transform,
+                                            semla_epoch_batches,
+                                            QM9_COORDS_STD_DEV)
 
-    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+        coord_std = QM9_COORDS_STD_DEV  # overridable via --set below
+        mols = [mol_transform(m, coord_std)
+                for m in load_dataset(_find_split(args.data_dir, "train"))]
+        reps = _load_reps(args.data_dir, cfg.d_rep, len(mols))
+        print(f"loaded {len(mols)} molecules from {args.data_dir}")
+
+        def gen():
+            epoch = 0
+            while True:
+                rng = np.random.default_rng((args.seed or 0) + epoch)
+                yield from semla_epoch_batches(
+                    mols, cfg.interpolant, rng, reps=reps,
+                    batch_cost=args.batch_cost,
+                    vocab_size=cfg.vocab_size,
+                    n_bond_types=cfg.n_bond_types,
+                    n_charge_types=cfg.n_charge_types)
+                epoch += 1
+        samples_per_step = args.batch_cost // 64  # rough avg for throughput
+    _run_loop(trainer, state, gen(), args,
+              cfg.batch_size if args.synthetic or not args.data_dir
+              else samples_per_step, cfg=cfg)
 
 
 def train_multiflow(args):
-    from reed_tpu.core.config import OptimConfig
     from reed_tpu.train.multiflow import MultiflowTrainConfig, MultiflowTrainer
 
-    cfg = MultiflowTrainConfig(batch_size=args.batch_size or 4,
-                               optim=OptimConfig(lr=args.lr or 1e-4),
-                               mesh=_mesh_cfg(args), seed=args.seed)
+    cfg = _resolve_cfg(MultiflowTrainConfig, args)
     trainer = MultiflowTrainer(cfg)
     state = trainer.init_state()
 
-    def gen():
-        i = 0
-        while True:
-            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
-            i += 1
+    if args.synthetic or not args.data_dir:
+        def gen():
+            i = 0
+            while True:
+                yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+                i += 1
+    else:
+        from reed_tpu.data.protein import multiflow_epoch_batches
 
-    _run_loop(trainer, state, gen(), args, cfg.batch_size)
+        def gen():
+            epoch = 0
+            while True:
+                rng = np.random.default_rng((args.seed or 0) + epoch)
+                yield from multiflow_epoch_batches(
+                    args.data_dir, cfg.batch_size, rng,
+                    max_len=cfg.max_len)
+                epoch += 1
+
+    _run_loop(trainer, state, gen(), args, cfg.batch_size, cfg=cfg)
 
 
 def train_rdm(args):
-    from reed_tpu.core.config import OptimConfig
     from reed_tpu.eval.rep_samplers import DDIMRepSampler
     from reed_tpu.train.rdm import RDMTrainConfig, RDMTrainer
 
-    cfg = RDMTrainConfig(batch_size=args.batch_size or 128,
-                         optim=OptimConfig(lr=args.lr or 1e-4,
-                                           weight_decay=0.005),
-                         mesh=_mesh_cfg(args), seed=args.seed)
+    cfg = _resolve_cfg(RDMTrainConfig, args)
     trainer = RDMTrainer(cfg)
     state = trainer.init_state()
 
-    def gen():
-        i = 0
-        while True:
-            yield trainer.synthetic_batch(jax.random.PRNGKey(i))
-            i += 1
+    if args.synthetic or not args.data_dir:
+        def gen():
+            i = 0
+            while True:
+                yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+                i += 1
+    else:
+        # precomputed encoder reps + molecule sizes on disk
+        # (reference: molecule/src/rdm/main_rdm_sampling.py data loading)
+        reps = np.load(os.path.join(args.data_dir, "reps.npy"))
+        sizes = np.load(os.path.join(args.data_dir, "sizes.npy"))
+        assert reps.shape[1] == cfg.channels, (reps.shape, cfg.channels)
 
-    state = _run_loop(trainer, state, gen(), args, cfg.batch_size)
+        def gen():
+            epoch = 0
+            while True:
+                rng = np.random.default_rng((args.seed or 0) + epoch)
+                order = rng.permutation(len(reps))
+                for i in range(0, len(order) - cfg.batch_size + 1,
+                               cfg.batch_size):
+                    idx = order[i:i + cfg.batch_size]
+                    yield {"rep": jnp.asarray(reps[idx]),
+                           "num_atoms": jnp.asarray(
+                               sizes[idx].astype(np.int32))}
+                epoch += 1
+
+    state = _run_loop(trainer, state, gen(), args, cfg.batch_size, cfg=cfg)
     # smoke-sample a few reps through DDIM to close the two-stage loop
     sampler = DDIMRepSampler(trainer.diffusion(state.ema_params), eta=1.0,
                              step_num=10)
@@ -306,11 +443,11 @@ def eval_protein(args):
     from reed_tpu.eval.protein_metrics import sequence_recovery, tokens_to_sequence
     from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
 
-    cfg = ProteinTrainConfig(
-        batch_size=args.batch_size or 4,
-        interpolant=ProteinTrainConfig().interpolant.__class__(
-            num_timesteps=args.num_steps),
-        mesh=_mesh_cfg(args), seed=args.seed)
+    cfg = _resolve_cfg(ProteinTrainConfig, args,
+                       defaults={"batch_size": 4})
+    cfg = cfg.__class__(**{**cfg.__dict__, "interpolant": cfg.interpolant.
+                           __class__(**{**cfg.interpolant.__dict__,
+                                        "num_timesteps": args.num_steps})})
     trainer = ProteinTrainer(cfg)
     state = trainer.init_state()
     if args.ckpt_dir:
@@ -318,10 +455,10 @@ def eval_protein(args):
 
         state = CheckpointManager(args.ckpt_dir).restore(
             jax.eval_shape(lambda: state))
-    batch = trainer.synthetic_batch(jax.random.PRNGKey(args.seed),
+    batch = trainer.synthetic_batch(jax.random.PRNGKey(cfg.seed),
                                     length=args.length)
     pred, tokens = trainer.sample(state.ema_params, batch,
-                                  jax.random.PRNGKey(args.seed + 1))
+                                  jax.random.PRNGKey(cfg.seed + 1))
     rec = sequence_recovery(np.asarray(pred), np.asarray(batch["S"]),
                             np.asarray(batch["mask"] * batch["chain_M"]))
     print(json.dumps({
@@ -335,17 +472,15 @@ def eval_molecule(args):
     """Two-stage molecule eval: RDM-sampled (or synthetic Gt) reps ->
     EDM sampling -> stability/validity metrics with replicate mean/std
     (reference: molecule/eval_src/eval_analyze.py)."""
-    from reed_tpu.core.config import OptimConfig
     from reed_tpu.eval.molecule_metrics import DistributionNodes, MoleculeMetrics
     from reed_tpu.eval.rep_samplers import GtSampler
     from reed_tpu.eval.two_stage import (TwoStageSampler, evaluate_replicates,
                                          molecules_from_samples)
     from reed_tpu.train.molecule_edm import MoleculeEDMConfig, MoleculeEDMTrainer
 
-    cfg = MoleculeEDMConfig(batch_size=args.batch_size or 16,
-                            edm=MoleculeEDMConfig().edm.__class__(
-                                timesteps=args.num_steps),
-                            mesh=_mesh_cfg(args), seed=args.seed)
+    cfg = _resolve_cfg(MoleculeEDMConfig, args,
+                       defaults={"batch_size": 16,
+                                 "edm": {"timesteps": args.num_steps}})
     trainer = MoleculeEDMTrainer(cfg)
     state = trainer.init_state()
     if args.ckpt_dir:
@@ -354,7 +489,7 @@ def eval_molecule(args):
         state = CheckpointManager(args.ckpt_dir).restore(
             jax.eval_shape(lambda: state))
 
-    np_rng = np.random.default_rng(args.seed)
+    np_rng = np.random.default_rng(cfg.seed)
     # stand-in training-set reps/sizes for the GtSampler (real runs load
     # precomputed encoder reps from disk)
     reps = np_rng.standard_normal((256, cfg.rep_nf)).astype(np.float32)
@@ -373,7 +508,7 @@ def eval_molecule(args):
     def sample_replicate(r):
         nodes = node_dist.sample(np_rng, cfg.batch_size)
         x, h_cat, h_int, node_mask = sampler.sample(
-            jax.random.PRNGKey(args.seed + r), nodes, cfg.max_nodes,
+            jax.random.PRNGKey(cfg.seed + r), nodes, cfg.max_nodes,
             np_rng=np_rng)
         return molecules_from_samples(x, h_cat, node_mask)
 
@@ -383,13 +518,30 @@ def eval_molecule(args):
 
 
 def generate_image(args):
-    from reed_tpu.eval.fid import FIDGenConfig, generate_samples
+    """FID sample generation: sample latents -> VAE-decode to 256x256 uint8
+    pixels -> ADM-suite npz (reference: image/generate.py:106-174)."""
+    from reed_tpu.eval.fid import (FIDGenConfig, generate_samples,
+                                   make_vae_decode_fn)
     from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
 
-    tcfg = ImageTrainConfig(model=args.model, mesh=_mesh_cfg(args))
+    defaults = {}
+    if args.ref_ckpt:
+        # torch-parity inference from a converted reference checkpoint
+        defaults["exact_gelu"] = True
+    tcfg = _resolve_cfg(ImageTrainConfig, args, defaults=defaults)
     trainer = ImageTrainer(tcfg)
     state = trainer.init_state()
-    if args.ckpt_dir:
+    if args.ref_ckpt:
+        from reed_tpu.encoders.sit_convert import load_reference_checkpoint
+
+        variables = load_reference_checkpoint(
+            args.ref_ckpt, depth=trainer.model.depth,
+            num_projectors=len(tcfg.z_dims))
+        params = variables["params"]
+        state = state.replace(params=params, ema_params=params)
+        print(f"loaded reference checkpoint {args.ref_ckpt} "
+              f"(exact_gelu={tcfg.exact_gelu})")
+    elif args.ckpt_dir:
         from reed_tpu.core.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(args.ckpt_dir)
@@ -399,11 +551,25 @@ def generate_image(args):
         v, _ = trainer.model.apply({"params": params}, x, t, y, train=False)
         return v
 
+    decode_fn = make_vae_decode_fn(args.vae, latent_size=tcfg.input_size,
+                                   latent_channels=tcfg.in_channels)
+    if decode_fn is None:
+        print("WARNING: no --vae decoder npz given; npz will hold raw "
+              "latents, not the 256x256 uint8 pixels the ADM FID suite "
+              "expects (convert with tools/convert_vae.py)")
+
     cfg = FIDGenConfig(num_samples=args.num_samples,
                        batch_size=args.batch_size or 64,
+                       num_classes=tcfg.num_classes,
+                       latent_size=tcfg.input_size,
+                       latent_channels=tcfg.in_channels,
                        mode=args.mode, num_steps=args.num_steps,
-                       cfg_scale=args.cfg_scale, seed=args.seed)
-    generate_samples(model_fn, state.ema_params, cfg, out_npz=args.out)
+                       cfg_scale=args.cfg_scale,
+                       guidance_low=args.guidance_low,
+                       guidance_high=args.guidance_high,
+                       seed=tcfg.seed)
+    generate_samples(model_fn, state.ema_params, cfg, decode_fn=decode_fn,
+                     out_npz=args.out)
 
 
 def main(argv=None):
@@ -411,12 +577,16 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("train-image")
-    p.add_argument("--model", default="SiT-B/2")
+    p.add_argument("--model", default=None, help="e.g. SiT-XL/2")
     p.add_argument("--sample-every", type=int, default=0)
+    p.add_argument("--vae", default=None,
+                   help="converted SD-VAE decoder npz for preview decoding")
     _add_common(p)
     p.set_defaults(fn=train_image)
 
     p = sub.add_parser("train-protein")
+    p.add_argument("--token-budget", type=int, default=20_000,
+                   help="tokens per batch (reference batch_size=20000)")
     _add_common(p)
     p.set_defaults(fn=train_protein)
 
@@ -425,6 +595,8 @@ def main(argv=None):
     p.set_defaults(fn=train_molecule_edm)
 
     p = sub.add_parser("train-molecule-semla")
+    p.add_argument("--batch-cost", type=int, default=4096,
+                   help="padded-atom budget per batch (reference batch_cost)")
     _add_common(p)
     p.set_defaults(fn=train_molecule_semla)
 
@@ -449,11 +621,19 @@ def main(argv=None):
     p.set_defaults(fn=eval_molecule)
 
     p = sub.add_parser("generate-image")
-    p.add_argument("--model", default="SiT-B/2")
+    p.add_argument("--model", default=None, help="e.g. SiT-XL/2")
     p.add_argument("--num-samples", type=int, default=64)
     p.add_argument("--mode", default="sde", choices=["sde", "ode"])
     p.add_argument("--num-steps", type=int, default=50)
     p.add_argument("--cfg-scale", type=float, default=1.0)
+    p.add_argument("--guidance-low", type=float, default=0.0)
+    p.add_argument("--guidance-high", type=float, default=1.0)
+    p.add_argument("--vae", default=None,
+                   help="converted SD-VAE decoder npz (tools/convert_vae.py)"
+                        "; required for ADM-suite pixel npz output")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="reference torch .pt checkpoint (converted on load; "
+                        "forces exact_gelu for parity)")
     p.add_argument("--out", default=None)
     _add_common(p)
     p.set_defaults(fn=generate_image)

@@ -210,6 +210,105 @@ def collate_dense(mols: List[GeometricMol], max_n: int, vocab_size: int,
             "charges": charges, "mask": mask}
 
 
+# -- trainer-facing epoch iterators ------------------------------------------
+
+def semla_epoch_batches(mols: List[GeometricMol], interpolant_cfg,
+                        rng: np.random.Generator,
+                        reps: Optional[np.ndarray] = None,
+                        batch_cost: int = 4096,
+                        bucket_limits: Sequence[int] = DEFAULT_BUCKET_LIMITS,
+                        vocab_size: int = 18, n_bond_types: int = 5,
+                        n_charge_types: int = 7
+                        ) -> Iterator[Dict[str, np.ndarray]]:
+    """One shuffled epoch of SemlaTrainer-schema batches: size-bucketed dense
+    collation + host-side prior/OT-coupled interpolation, exactly what the
+    reference's datamodule collate does per batch
+    (molecule/semlaflow/train.py:264-375, data/datamodules.py:242;
+    interpolation-in-collate at data/interpolate.py). `reps` are precomputed
+    frozen-encoder reps aligned with `mols` by index."""
+    from reed_tpu.diffusion.molecule_fm import interpolate_batch
+
+    by_bucket: Dict[int, List[int]] = {}
+    for idx, m in enumerate(mols):
+        for b in bucket_limits:
+            if m.seq_length <= b:
+                by_bucket.setdefault(b, []).append(idx)
+                break
+    batches = []
+    for bucket, idxs in by_bucket.items():
+        arr = np.asarray(idxs)
+        rng.shuffle(arr)
+        bs = max(1, batch_cost // bucket)
+        for i in range(0, len(arr), bs):
+            chunk = arr[i:i + bs]
+            if len(chunk) < bs:  # pad-repeat so each bucket compiles once
+                chunk = np.concatenate([chunk, arr[:bs - len(chunk)]])
+            batches.append((bucket, chunk))
+    for bi in rng.permutation(len(batches)):
+        bucket, chunk = batches[bi]
+        data = collate_dense([mols[j] for j in chunk], bucket, vocab_size,
+                             n_bond_types, n_charge_types)
+        prior, interpolated, times = interpolate_batch(rng, interpolant_cfg,
+                                                       data)
+        batch = {"data": data, "prior": prior, "interpolated": interpolated,
+                 "times": times}
+        if reps is not None:
+            batch["rep"] = reps[chunk]
+        yield batch
+
+
+QM9_CHARGE_TO_TYPE = {1: 0, 6: 1, 7: 2, 8: 3, 9: 4}  # H,C,N,O,F
+
+
+def edm_epoch_batches(data: Dict[str, np.ndarray], batch_size: int,
+                      rng: np.random.Generator,
+                      reps: Optional[np.ndarray] = None,
+                      max_nodes: int = 29, num_atom_types: int = 5,
+                      include_charges: bool = True
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+    """One shuffled epoch of MoleculeEDMTrainer-schema batches from the EDM
+    QM9 npz layout (positions/charges/num_atoms[, one_hot]) — the dense
+    collation the reference does in qm9/data/collate.py + dataset.py:13."""
+    pos = np.asarray(data["positions"], np.float32)
+    charges = np.asarray(data["charges"]) if "charges" in data else None
+    one_hot_src = np.asarray(data["one_hot"]) if "one_hot" in data else None
+    num_atoms = np.asarray(data["num_atoms"]).astype(np.int64)
+    m, src_n = pos.shape[:2]
+    n = max_nodes
+    k = min(n, src_n)
+    diag = np.eye(n, dtype=np.float32)[None, :, :, None]
+
+    order = rng.permutation(m)
+    for i in range(0, m - batch_size + 1, batch_size):
+        idx = order[i:i + batch_size]
+        node_mask = (np.arange(n)[None, :]
+                     < np.minimum(num_atoms[idx], n)[:, None]
+                     ).astype(np.float32)[..., None]
+        positions = np.zeros((batch_size, n, 3), np.float32)
+        positions[:, :k] = pos[idx, :k]
+        positions *= node_mask
+        if one_hot_src is not None:
+            one_hot = np.zeros((batch_size, n, num_atom_types), np.float32)
+            one_hot[:, :k] = one_hot_src[idx, :k, :num_atom_types]
+        else:
+            type_idx = np.vectorize(
+                lambda z: QM9_CHARGE_TO_TYPE.get(int(z), 0))(charges[idx, :k])
+            one_hot = np.zeros((batch_size, n, num_atom_types), np.float32)
+            one_hot[:, :k] = np.eye(num_atom_types, dtype=np.float32)[type_idx]
+        one_hot *= node_mask
+        ch = np.zeros((batch_size, n, 1), np.float32)
+        if charges is not None and include_charges:
+            ch[:, :k, 0] = charges[idx, :k]
+        ch *= node_mask
+        edge_mask = (node_mask[:, :, None, :] * node_mask[:, None, :, :]
+                     * (1.0 - diag))
+        batch = {"positions": positions, "one_hot": one_hot, "charges": ch,
+                 "node_mask": node_mask, "edge_mask": edge_mask}
+        if reps is not None:
+            batch["rep"] = reps[idx]
+        yield batch
+
+
 # -- dataset builders ---------------------------------------------------------
 
 def build_geom_dataset(msgpack_path: str, out_path: str,

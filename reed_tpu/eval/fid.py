@@ -101,3 +101,53 @@ def strip_projector_params(params):
     (reference: image/generate.py:77-85)."""
     return {k: v for k, v in params.items()
             if not k.startswith("projectors_")}
+
+
+def save_params_npz(path: str, variables):
+    """Flatten a variables pytree into a flat 'a/b/c' npz."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(variables).items()}
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str):
+    from flax.traverse_util import unflatten_dict
+
+    z = np.load(path)
+    return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+
+
+def make_vae_decode_fn(vae_npz: Optional[str] = None,
+                       latent_size: int = 32, latent_channels: int = 4,
+                       _random_init_for_tests: bool = False):
+    """Build decode_fn(latents)->uint8 pixels from a converted SD-VAE
+    decoder npz (tools/convert_vae.py writes it from the diffusers
+    checkpoint; reference decodes per batch at image/generate.py:156-171).
+
+    generate_samples already un-scales latents (x / 0.18215), so the decoder
+    applies directly. Returns None when no weights are available."""
+    from reed_tpu.encoders.vae import VAEDecoder
+
+    decoder = VAEDecoder()
+    if vae_npz is not None:
+        variables = load_params_npz(vae_npz)
+    elif _random_init_for_tests:
+        variables = decoder.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, latent_size, latent_size, latent_channels)))
+    else:
+        return None
+
+    @jax.jit
+    def _decode(variables, latents):
+        x = decoder.apply(variables, latents)
+        x = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        return (x * 255.0 + 0.5).astype(jnp.uint8)
+
+    def decode_fn(latents):
+        return np.asarray(jax.device_get(
+            _decode(variables, jnp.asarray(latents))))
+
+    return decode_fn

@@ -60,3 +60,47 @@ def test_evaluate_replicates_aggregates():
     assert out["mean"]["mol_stable"] == 1.0
     assert out["std"]["mol_stable"] == 0.0
     assert len(out["all"]["validity"]) == 3
+
+
+def test_fid_pixel_npz_with_vae_decode(tmp_path):
+    """generate_samples + VAE decode_fn writes 8x-upsampled uint8 pixels
+    (the ADM-suite contract, reference image/generate.py:156-171)."""
+    import jax
+    import numpy as np
+
+    from reed_tpu.eval.fid import (FIDGenConfig, generate_samples,
+                                   make_vae_decode_fn)
+
+    latent = 4
+    cfg = FIDGenConfig(num_samples=2, batch_size=2, num_classes=4,
+                       latent_size=latent, latent_channels=4, mode="ode",
+                       num_steps=2, seed=0)
+
+    def model_fn(params, x, t, y):
+        return -x  # trivial contraction field
+
+    decode_fn = make_vae_decode_fn(None, latent_size=latent,
+                                   _random_init_for_tests=True)
+    out = str(tmp_path / "samples.npz")
+    samples = generate_samples(model_fn, {}, cfg, decode_fn=decode_fn,
+                               out_npz=out)
+    assert samples.shape == (2, latent * 8, latent * 8, 3)
+    assert samples.dtype == np.uint8
+    z = np.load(out)
+    assert z["arr_0"].shape == (2, latent * 8, latent * 8, 3)
+
+
+def test_vae_params_npz_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reed_tpu.eval.fid import load_params_npz, save_params_npz
+
+    tree = {"params": {"a": np.ones((2, 3), np.float32),
+                       "b": {"c": np.zeros((4,), np.float32)}}}
+    p = str(tmp_path / "p.npz")
+    save_params_npz(p, tree)
+    back = load_params_npz(p)
+    assert set(back["params"]) == {"a", "b"}
+    assert np.allclose(back["params"]["b"]["c"], 0)
