@@ -21,6 +21,7 @@ _LIB = os.path.join(_THIS_DIR, "liborca.so")
 _BIN = os.path.join(_THIS_DIR, "orca")
 
 NUM_ORBITS_4 = 15
+NUM_ORBITS_5 = 73
 
 
 def _build(target: str) -> str:
@@ -42,9 +43,9 @@ def _lib() -> ctypes.CDLL:
     global _handle
     if _handle is None:
         _handle = ctypes.CDLL(_build("lib"))
-        _handle.orca_count_node_orbits4.restype = ctypes.c_int
-        _handle.orca_count_node_orbits4.argtypes = [
-            ctypes.c_int, ctypes.c_int,
+        _handle.orca_count_node_orbits.restype = ctypes.c_int
+        _handle.orca_count_node_orbits.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
@@ -56,15 +57,25 @@ def orca_binary_path() -> str:
     return _build("bin")
 
 
-def count_node_orbits4(n: int, edges) -> np.ndarray:
-    """Node orbit counts for 4-node graphlets: [n, 15] int64.
-
-    edges: [m, 2] int array of undirected edges (duplicates/self-loops
-    ignored)."""
+def _count(max_k: int, num_orbits: int, n: int, edges) -> np.ndarray:
     edges = np.ascontiguousarray(np.asarray(edges, np.int32).reshape(-1, 2))
-    out = np.zeros((n, NUM_ORBITS_4), np.int64)
-    rc = _lib().orca_count_node_orbits4(
-        int(n), len(edges), edges.reshape(-1), out.reshape(-1))
+    out = np.zeros((n, num_orbits), np.int64)
+    rc = _lib().orca_count_node_orbits(
+        max_k, int(n), len(edges), edges.reshape(-1), out.reshape(-1))
     if rc != 0:
         raise ValueError(f"orca failed with code {rc}")
     return out
+
+
+def count_node_orbits4(n: int, edges) -> np.ndarray:
+    """Node orbit counts for graphlets up to 4 nodes: [n, 15] int64.
+
+    edges: [m, 2] int array of undirected edges (duplicates/self-loops
+    ignored)."""
+    return _count(4, NUM_ORBITS_4, n, edges)
+
+
+def count_node_orbits5(n: int, edges) -> np.ndarray:
+    """Node orbit counts for graphlets up to 5 nodes: [n, 73] int64
+    (Przulj atlas orbits 0..72, matching `orca node 5`)."""
+    return _count(5, NUM_ORBITS_5, n, edges)

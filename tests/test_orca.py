@@ -85,3 +85,58 @@ def test_disconnected_and_dup_edges():
     out = count_node_orbits4(5, [[0, 1], [1, 0], [2, 3]])
     assert list(out[:, 0]) == [1, 1, 1, 1, 0]
     assert out[:, 1:].sum() == 0
+
+
+# -- node 5 (orbits 15..72, Przulj atlas numbering) --------------------------
+
+def test_node5_path5():
+    from reed_tpu.eval.orca import count_node_orbits5
+
+    out = count_node_orbits5(5, [[0, 1], [1, 2], [2, 3], [3, 4]])
+    assert out.shape == (5, 73)
+    # P5: ends orbit 15, second orbit 16, middle orbit 17
+    assert list(np.argwhere(out[:, 15:])[:, 1] + 15) == [15, 16, 17, 16, 15]
+    # 4-node sub-orbits unchanged from the node-4 counter
+    assert list(out[:, 4]) == [1, 1, 0, 1, 1]
+
+
+def test_node5_star_cycle_k5():
+    from reed_tpu.eval.orca import count_node_orbits5
+
+    star = count_node_orbits5(5, [[0, i] for i in range(1, 5)])
+    assert star[0, 23] == 1 and (star[1:, 22] == 1).all()
+    c5 = count_node_orbits5(5, [[0, 1], [1, 2], [2, 3], [3, 4], [0, 4]])
+    assert (c5[:, 34] == 1).all()
+    k5 = count_node_orbits5(
+        5, [[i, j] for i in range(5) for j in range(i + 1, 5)])
+    assert (k5[:, 72] == 1).all()
+    # K5 contains 5 K4s; each node is in 4
+    assert (k5[:, 14] == 4).all()
+
+
+def test_node5_matches_node4_prefix():
+    from reed_tpu.eval.orca import count_node_orbits4, count_node_orbits5
+
+    rng = np.random.default_rng(3)
+    n = 14
+    edges = np.argwhere(np.triu(rng.random((n, n)) < 0.3, 1))
+    o4 = count_node_orbits4(n, edges)
+    o5 = count_node_orbits5(n, edges)
+    assert (o5[:, :15] == o4).all()
+
+
+def test_node5_cli():
+    from reed_tpu.eval.orca import orca_binary_path
+
+    binary = orca_binary_path()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "g.in")
+        with open(inp, "w") as f:
+            f.write("5 5\n0 1\n1 2\n2 3\n3 4\n0 4\n")
+        r = subprocess.run([binary, "node", "5", inp, "std"],
+                           capture_output=True, text=True, check=True)
+        lines = r.stdout.split("orbit counts: \n", 1)[1].strip().splitlines()
+        row = list(map(int, lines[0].split()))
+        assert len(row) == 73
+        assert row[34] == 1
