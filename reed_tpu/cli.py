@@ -139,12 +139,14 @@ def _find_split(data_dir: str, split: str) -> str:
     """Locate a split file: <dir>/<split>.(rsmol|npz) or <dir> itself."""
     if os.path.isfile(data_dir):
         return data_dir
-    for ext in (".rsmol", ".npz"):
+    # np.savez appends .npz, so save_dataset('train.rsmol') lands as
+    # train.rsmol.npz
+    for ext in (".rsmol", ".rsmol.npz", ".npz"):
         p = os.path.join(data_dir, split + ext)
         if os.path.exists(p):
             return p
     raise FileNotFoundError(
-        f"no {split}.rsmol or {split}.npz under {data_dir}")
+        f"no {split}.rsmol[.npz] or {split}.npz under {data_dir}")
 
 
 def _load_reps(data_dir: str, d_rep, n: int):
@@ -514,6 +516,24 @@ def eval_molecule(args):
 
     out = evaluate_replicates(sample_replicate, metrics,
                               n_replicates=args.n_replicates)
+
+    # MOSES distribution block vs a held-out test set when available
+    # (reference: eval_src/evaluation/molsets.py get_all_metrics)
+    if args.data_dir:
+        from reed_tpu.data.molecule import (QM9_ATOM_DECODER, load_dataset)
+        from reed_tpu.eval.molsets import (geometric_mols_from_samples,
+                                           moses_metrics)
+
+        try:
+            test_path = _find_split(args.data_dir, "test")
+            test_mols = load_dataset(test_path)
+        except FileNotFoundError:
+            test_mols = None
+        if test_mols:
+            samples = sample_replicate(args.n_replicates)
+            gen_mols = geometric_mols_from_samples(samples, QM9_ATOM_DECODER)
+            out["moses"] = moses_metrics(gen_mols, test_mols,
+                                         vocab_tokens=QM9_ATOM_DECODER)
     print(json.dumps(out, indent=2))
 
 
