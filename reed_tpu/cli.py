@@ -388,7 +388,9 @@ def train_multiflow(args):
                 rng = np.random.default_rng((args.seed or 0) + epoch)
                 yield from multiflow_epoch_batches(
                     args.data_dir, cfg.batch_size, rng,
-                    max_len=cfg.max_len)
+                    max_len=cfg.max_len,
+                    trans_batch_ot=cfg.interpolant.trans_batch_ot,
+                    trans_scale=cfg.interpolant.trans_scale)
                 epoch += 1
 
     _run_loop(trainer, state, gen(), args, cfg.batch_size, cfg=cfg)

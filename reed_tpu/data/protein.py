@@ -315,11 +315,16 @@ def load_multiflow_entries(data_dir: str,
 
 def multiflow_epoch_batches(data_dir: str, batch_size: int,
                             rng: np.random.Generator, max_len: int = 128,
-                            entries: Optional[List[Dict]] = None
+                            entries: Optional[List[Dict]] = None,
+                            trans_batch_ot: bool = False,
+                            trans_scale: float = 10.0,
                             ) -> Iterator[Dict[str, np.ndarray]]:
     """One shuffled epoch of MultiflowTrainer-schema batches. Chains longer
     than max_len are randomly cropped (contiguous window); shorter ones are
-    zero-padded with res_mask (reference: pdb_dataloader.py length batching)."""
+    zero-padded with res_mask (reference: pdb_dataloader.py length batching).
+    With trans_batch_ot the coupled translation prior is computed here in
+    the input pipeline (reference couples on-device per batch,
+    multiflow/data/interpolant.py:88-107)."""
     if entries is None:
         entries = load_multiflow_entries(data_dir)
     if not entries:
@@ -350,5 +355,12 @@ def multiflow_epoch_batches(data_dir: str, batch_size: int,
             rotmats[j, :l] = e["rotmats"][sl]
             aatypes[j, :l] = e["aatypes"][sl]
             res_mask[j, :l] = 1.0
-        yield {"trans_1": trans, "rotmats_1": rotmats, "aatypes_1": aatypes,
-               "res_mask": res_mask, "res_idx": res_idx}
+        batch = {"trans_1": trans, "rotmats_1": rotmats,
+                 "aatypes_1": aatypes, "res_mask": res_mask,
+                 "res_idx": res_idx}
+        if trans_batch_ot:
+            from reed_tpu.diffusion.se3 import batch_ot_trans_prior
+
+            batch["trans_0"] = batch_ot_trans_prior(rng, trans, res_mask,
+                                                    trans_scale)
+        yield batch

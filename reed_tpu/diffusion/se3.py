@@ -58,12 +58,67 @@ def centered_gaussian(rng, shape, mask):
     return (x - com) * mask[..., None]
 
 
-def corrupt_trans(rng, cfg, trans_1, t, res_mask):
+def corrupt_trans(rng, cfg, trans_1, t, res_mask, trans_0=None):
     """Linear path from a centered gaussian prior (reference:
-    interpolant.py:77-90). trans in Angstrom; t [B, 1]."""
-    trans_0 = centered_gaussian(rng, trans_1.shape, res_mask) * cfg.trans_scale
+    interpolant.py:77-90). trans in Angstrom; t [B, 1]. When the batch
+    carries a precoupled prior (`trans_0`, from batch_ot_trans_prior in the
+    input pipeline) it is used instead of fresh noise — the OT coupling's
+    Hungarian step is host-side, like the reference's
+    linear_sum_assignment (interpolant.py:107)."""
+    if trans_0 is None:
+        trans_0 = centered_gaussian(rng, trans_1.shape, res_mask) \
+            * cfg.trans_scale
     trans_t = (1 - t[..., None]) * trans_0 + t[..., None] * trans_1
     return trans_t * res_mask[..., None]
+
+
+def _masked_kabsch_align(x, y, w):
+    """Rigidly align x onto y (both [..., N, 3], weights w [..., N]):
+    returns x aligned, with rotation + translation chosen by weighted
+    Kabsch. Vectorized numpy (host-side)."""
+    w = w[..., None]
+    wsum = np.maximum(w.sum(-2, keepdims=True), 1e-8)
+    xc = (x * w).sum(-2, keepdims=True) / wsum
+    yc = (y * w).sum(-2, keepdims=True) / wsum
+    x0, y0 = (x - xc) * w, (y - yc) * w
+    h = np.einsum("...ni,...nj->...ij", x0, y0)
+    u, _, vt = np.linalg.svd(h)
+    det = np.linalg.det(np.einsum("...ij,...jk->...ik", u, vt))
+    d = np.ones(h.shape[:-2] + (3,))
+    d[..., -1] = det
+    rot = np.einsum("...ij,...j,...jk->...ik", u, d, vt)
+    return np.einsum("...ni,...ij->...nj", x - xc, rot) + yc
+
+
+def batch_ot_trans_prior(rng_np: np.random.Generator, trans_1, res_mask,
+                         trans_scale: float) -> np.ndarray:
+    """Batch-OT coupled translation prior (reference:
+    multiflow/data/interpolant.py:88-107 _batch_ot): sample B centered
+    gaussians, Kabsch-align every (noise, gt) pair, build the masked
+    mean-distance cost matrix, Hungarian-assign, and return the aligned
+    noise matched to each ground-truth structure. Host-side numpy — runs
+    in the input pipeline, not inside the jitted step."""
+    from scipy.optimize import linear_sum_assignment
+
+    trans_1 = np.asarray(trans_1, np.float64)
+    res_mask = np.asarray(res_mask, np.float64)
+    b, n = res_mask.shape
+    noise = rng_np.standard_normal((b, n, 3)) * res_mask[..., None]
+    com = noise.sum(-2, keepdims=True) / np.maximum(
+        res_mask.sum(-1)[:, None, None], 1.0)
+    noise = (noise - com) * res_mask[..., None] * trans_scale
+
+    # all-pairs alignment: noise i onto gt j
+    x = np.broadcast_to(noise[:, None], (b, b, n, 3))
+    y = np.broadcast_to(trans_1[None, :], (b, b, n, 3))
+    w = np.broadcast_to(res_mask[None, :], (b, b, n))
+    aligned = _masked_kabsch_align(x, y, w)
+    cost = (np.linalg.norm((aligned - y) * w[..., None], axis=-1).sum(-1)
+            / np.maximum(w.sum(-1), 1.0))
+    noise_idx, gt_idx = linear_sum_assignment(cost)
+    out = np.empty_like(noise)
+    out[gt_idx] = aligned[noise_idx, gt_idx]
+    return out.astype(np.float32)
 
 
 def corrupt_rotmats(rng, cfg, rotmats_1, t, res_mask):
@@ -107,7 +162,8 @@ def corrupt_batch(rng, cfg: SE3InterpolantConfig, batch: Dict) -> Dict:
     out = dict(batch)
     out["so3_t"] = out["r3_t"] = out["cat_t"] = t
     out["trans_t"] = corrupt_trans(r_tr, cfg, batch["trans_1"], t,
-                                   batch["res_mask"])
+                                   batch["res_mask"],
+                                   trans_0=batch.get("trans_0"))
     out["rotmats_t"] = corrupt_rotmats(r_rot, cfg, batch["rotmats_1"], t,
                                        batch["res_mask"])
     out["aatypes_t"] = corrupt_aatypes(r_cat, cfg, batch["aatypes_1"], t,

@@ -23,6 +23,7 @@ from reed_tpu.diffusion.se3 import (
     MASK_TOKEN_INDEX,
     NUM_TOKENS,
     SE3InterpolantConfig,
+    batch_ot_trans_prior,
     corrupt_batch,
     se3_sample,
 )
@@ -30,11 +31,12 @@ from reed_tpu.models.ipa import FlowModel, rigid_apply
 from reed_tpu.ops.so3 import calc_rot_vf, sample_uniform_rotations
 from reed_tpu.parallel import mesh as meshlib
 
-# idealized backbone atom coordinates in the residue frame (N, CA, C), from
-# the AF2 rigid-group constants (reference: multiflow/data/all_atom.py)
-IDEAL_BB = np.array([[-0.525, 1.363, 0.0],
-                     [0.0, 0.0, 0.0],
-                     [1.526, 0.0, 0.0]], np.float32)
+# idealized backbone atom coordinates in the residue frame (N, CA, C): the
+# ALA rigid-group constants — exactly the atoms the reference bb-atom aux
+# loss uses (flow_module.py:132,168 to_atom37(...)[:, :, :3])
+from reed_tpu.ops.residue_constants import RESTYPE_ATOM37_POSITIONS
+
+IDEAL_BB = np.array(RESTYPE_ATOM37_POSITIONS[0, :3], np.float32)
 
 
 def to_bb_atoms(rotmats, trans):
@@ -174,8 +176,10 @@ class MultiflowTrainer:
                                            abstract_state.params,
                                            param_sharding, rep))
         bsh = meshlib.batch_sharding(self.mesh)
-        self.batch_sharding = {k: bsh for k in (
-            "trans_1", "rotmats_1", "aatypes_1", "res_mask", "res_idx")}
+        keys = ["trans_1", "rotmats_1", "aatypes_1", "res_mask", "res_idx"]
+        if cfg.interpolant.trans_batch_ot:
+            keys.append("trans_0")  # precoupled OT prior from the pipeline
+        self.batch_sharding = {k: bsh for k in keys}
         self.train_step = jit_train_step(step_fn, self.mesh,
                                          self.state_shardings,
                                          self.batch_sharding)
@@ -207,7 +211,7 @@ class MultiflowTrainer:
         steps = jax.random.normal(r1, (bs, n, 3)) * 1.5
         trans = jnp.cumsum(steps, axis=1)
         trans = trans - trans.mean(axis=1, keepdims=True)
-        return {
+        batch = {
             "trans_1": trans,
             "rotmats_1": sample_uniform_rotations(r2, (bs, n)),
             "aatypes_1": jax.random.randint(r3, (bs, n), 0, 20),
@@ -215,6 +219,17 @@ class MultiflowTrainer:
             "res_idx": jnp.broadcast_to(jnp.arange(n)[None],
                                         (bs, n)).astype(jnp.int32),
         }
+        if self.cfg.interpolant.trans_batch_ot:
+            if isinstance(trans, jax.core.Tracer):
+                # under trace (init/eval_shape): shapes only, no host OT
+                batch["trans_0"] = jnp.zeros_like(trans)
+            else:
+                np_rng = np.random.default_rng(
+                    int(np.asarray(jax.random.key_data(rng))[-1]))
+                batch["trans_0"] = jnp.asarray(batch_ot_trans_prior(
+                    np_rng, np.asarray(trans), np.asarray(mask),
+                    self.cfg.interpolant.trans_scale))
+        return batch
 
     def sample(self, params, rng, batch_size, length, num_timesteps=None):
         # params threaded through jit (closure would bake them as constants)

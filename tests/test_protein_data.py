@@ -156,10 +156,13 @@ def test_multiflow_epoch_batches_trains(tmp_path):
     rng = np.random.default_rng(0)
     n_batches = 0
     with trainer.mesh:
-        for batch in multiflow_epoch_batches(str(tmp_path), 2, rng,
-                                             max_len=16, entries=entries):
+        for batch in multiflow_epoch_batches(
+                str(tmp_path), 2, rng, max_len=16, entries=entries,
+                trans_batch_ot=cfg.interpolant.trans_batch_ot,
+                trans_scale=cfg.interpolant.trans_scale):
             assert batch["trans_1"].shape == (2, 16, 3)
             assert batch["rotmats_1"].shape == (2, 16, 3, 3)
+            assert "trans_0" in batch  # OT-coupled prior from the pipeline
             state, metrics = trainer.train_step(
                 state, jax.tree.map(jnp.asarray, batch),
                 jax.random.PRNGKey(0))
