@@ -459,6 +459,46 @@ def eval_protein(args):
 
         state = CheckpointManager(args.ckpt_dir).restore(
             jax.eval_shape(lambda: state))
+    if args.data_dir:
+        # real validation clusters (reference: train_fmif.py:464-540 scores
+        # recovery over the valid split each epoch)
+        from reed_tpu.data.protein import (PDBParams,
+                                           build_training_clusters,
+                                           sample_cluster_chains,
+                                           token_bucket_batches)
+
+        params = PDBParams(args.data_dir)
+        _, valid_clusters, _ = build_training_clusters(params)
+        rng_np = np.random.default_rng(cfg.seed)
+        entries = sample_cluster_chains(rng_np, valid_clusters, params,
+                                        max_length=cfg.max_len,
+                                        limit=args.max_chains)
+        if not entries:
+            raise SystemExit(f"no valid-split chains under {args.data_dir}")
+        repr_dims = {"single": cfg.single_dim, "pair": cfg.pair_dim,
+                     "structure": cfg.structure_dim}
+        recs, weights = [], []
+        sample_seq = None
+        for batch in token_bucket_batches(entries, repr_dims=repr_dims):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            pred, tokens = trainer.sample(
+                state.ema_params, batch, jax.random.PRNGKey(cfg.seed + 1))
+            m = np.asarray(batch["mask"] * batch["chain_M"])
+            recs.append(sequence_recovery(np.asarray(pred),
+                                          np.asarray(batch["S"]), m))
+            weights.append(m.sum())
+            if sample_seq is None:
+                sample_seq = tokens_to_sequence(
+                    np.asarray(tokens[0]), np.asarray(batch["mask"][0]))
+        rec = float(np.average(recs, weights=weights))
+        print(json.dumps({
+            "split": "valid",
+            "num_chains": len(entries),
+            "sequence_recovery": rec,
+            "sample_0": (sample_seq or "")[:80],
+        }, indent=2))
+        return
+
     batch = trainer.synthetic_batch(jax.random.PRNGKey(cfg.seed),
                                     length=args.length)
     pred, tokens = trainer.sample(state.ema_params, batch,
@@ -466,6 +506,7 @@ def eval_protein(args):
     rec = sequence_recovery(np.asarray(pred), np.asarray(batch["S"]),
                             np.asarray(batch["mask"] * batch["chain_M"]))
     print(json.dumps({
+        "split": "synthetic",
         "sequence_recovery": rec,
         "sample_0": tokens_to_sequence(np.asarray(tokens[0]),
                                        np.asarray(batch["mask"][0]))[:80],
@@ -494,10 +535,23 @@ def eval_molecule(args):
             jax.eval_shape(lambda: state))
 
     np_rng = np.random.default_rng(cfg.seed)
-    # stand-in training-set reps/sizes for the GtSampler (real runs load
-    # precomputed encoder reps from disk)
-    reps = np_rng.standard_normal((256, cfg.rep_nf)).astype(np.float32)
-    sizes = np_rng.integers(cfg.max_nodes // 2, cfg.max_nodes + 1, 256)
+    reps_path = (os.path.join(args.data_dir, "reps.npy")
+                 if args.data_dir else None)
+    if reps_path and os.path.exists(reps_path):
+        # real training-set encoder reps + molecule sizes (reference:
+        # rep_samplers.py:159-226 GtSampler over dataset reps)
+        reps = np.load(reps_path).astype(np.float32)
+        sizes = np.load(os.path.join(args.data_dir, "sizes.npy"))
+        assert reps.shape[1] == cfg.rep_nf, (reps.shape, cfg.rep_nf)
+        print(f"GtSampler over {len(reps)} dataset reps from "
+              f"{args.data_dir}")
+    else:
+        if args.data_dir:
+            print(f"WARNING: no reps.npy under {args.data_dir}; "
+                  f"using random stand-in reps")
+        reps = np_rng.standard_normal((256, cfg.rep_nf)).astype(np.float32)
+        sizes = np_rng.integers(cfg.max_nodes // 2, cfg.max_nodes + 1, 256)
+    sizes = np.minimum(sizes.astype(np.int64), cfg.max_nodes)
     rep_sampler = GtSampler(reps, sizes)
     node_dist = DistributionNodes(
         {int(s): float((sizes == s).sum()) for s in np.unique(sizes)})
@@ -633,6 +687,8 @@ def main(argv=None):
     p = sub.add_parser("eval-protein")
     p.add_argument("--num-steps", type=int, default=100)
     p.add_argument("--length", type=int, default=64)
+    p.add_argument("--max-chains", type=int, default=None,
+                   help="cap on valid-split chains to score")
     _add_common(p)
     p.set_defaults(fn=eval_protein)
 
