@@ -20,6 +20,29 @@ import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC_PER_CHIP = 170.0
 
+# bf16 peak TFLOP/s per chip for MFU accounting
+PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v5p": 459.0,
+               "v4": 275.0, "v6e": 918.0}
+
+
+def _peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, tf in PEAK_TFLOPS.items():
+        if key in kind:
+            return tf
+    return 197.0  # assume v5e-class when unknown (axon reports v5e)
+
+
+def sit_xl_train_flops_per_img(seq: int = 256, hidden: int = 1152,
+                               depth: int = 28, params: float = 675e6
+                               ) -> float:
+    """Analytic train-step FLOPs per image: 6·N·S for the dense matmuls
+    (fwd 2NS + bwd 4NS) plus the attention score/value matmuls
+    (12·S²·D per layer across fwd+bwd)."""
+    dense = 6.0 * params * seq
+    attn = 12.0 * seq * seq * hidden * depth
+    return dense + attn
+
 
 def main():
     from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
@@ -73,11 +96,14 @@ def main():
         assert jnp.isfinite(final_loss), final_loss
 
     imgs_per_sec_per_chip = batch * n_steps / dt / n_dev
+    mfu = (imgs_per_sec_per_chip * sit_xl_train_flops_per_img()
+           / (_peak_tflops() * 1e12))
     print(json.dumps({
         "metric": "imgs/sec/chip",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "imgs/sec/chip (SiT-XL/2 REED train step, bs32/chip)",
         "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
+        "mfu": round(mfu, 4),
     }))
 
 

@@ -187,14 +187,33 @@ def train_image(args):
         from reed_tpu.data.image import (CachedLatentDataset,
                                          ImageDatasetConfig, epoch_batches)
 
-        ds = CachedLatentDataset(ImageDatasetConfig(args.data_dir))
+        encoders = None
+        ds_cfg = ImageDatasetConfig(args.data_dir)
+        if args.enc_type:
+            # in-loop frozen-encoder features from raw pixel crops
+            # (reference: image/train.py:348-360) instead of the
+            # precompute-to-disk path
+            from reed_tpu.encoders.registry import (encode_features,
+                                                    load_encoders)
+
+            encoders, _, _ = load_encoders(args.enc_type,
+                                           encoder_dir=args.encoder_dir)
+            ds_cfg = ImageDatasetConfig(args.data_dir,
+                                        pixels_subdir=args.pixels_subdir)
+        ds = CachedLatentDataset(ds_cfg)
 
         def gen():
             epoch = 0
             while True:
-                yield from epoch_batches(ds, cfg.batch_size, cfg.seed + epoch,
-                                         jax.process_index(),
-                                         jax.process_count())
+                for batch in epoch_batches(ds, cfg.batch_size,
+                                           cfg.seed + epoch,
+                                           jax.process_index(),
+                                           jax.process_count()):
+                    if encoders is not None:
+                        pixels = batch.pop("pixels")
+                        batch["zs"] = (encode_features(encoders, pixels)
+                                       + list(batch["zs"]))
+                    yield batch
                 epoch += 1
         batches = gen()
 
@@ -657,6 +676,13 @@ def main(argv=None):
     p.add_argument("--sample-every", type=int, default=0)
     p.add_argument("--vae", default=None,
                    help="converted SD-VAE decoder npz for preview decoding")
+    p.add_argument("--enc-type", default=None,
+                   help="in-loop frozen encoders, e.g. dinov2-vit-b "
+                        "(needs --encoder-dir weights + pixel crops)")
+    p.add_argument("--encoder-dir", default=None,
+                   help="dir of converted encoder npz weights")
+    p.add_argument("--pixels-subdir", default="pixels",
+                   help="dataset subdir of raw uint8 crops")
     _add_common(p)
     p.set_defaults(fn=train_image)
 

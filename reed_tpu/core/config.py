@@ -21,6 +21,8 @@ class OptimConfig:
     warmup_steps: int = 0
     total_steps: int = 1_000_000
     accum_steps: int = 1                # gradient accumulation (optax.MultiSteps)
+    mu_dtype: Optional[str] = None      # adam first-moment dtype (HBM saver:
+    #                                     'bfloat16' halves m on big models)
 
 
 @dataclass(frozen=True)
@@ -35,6 +37,8 @@ class CurriculumConfig:
     diffusion_decay: str = "constant"   # constant | linear | cosine
     max_steps: int = 1_000_000
     ema_decay: float = 0.9999
+    ema_dtype: Optional[str] = None     # EMA param dtype ('bfloat16' halves
+    #                                     the EMA copy's HBM footprint)
 
 
 @dataclass(frozen=True)

@@ -17,6 +17,10 @@ def ema_update(ema_params, params, decay: float = 0.9999):
                         ema_params, params)
 
 
-def ema_init(params):
-    """Initialize EMA as a copy of params."""
-    return jax.tree.map(lambda p: p, params)
+def ema_init(params, dtype=None):
+    """Initialize EMA as a copy of params (optionally downcast — bfloat16
+    EMA halves its HBM footprint on large models; ema_update keeps the
+    accumulation in the EMA dtype)."""
+    if dtype is None:
+        return jax.tree.map(lambda p: p, params)
+    return jax.tree.map(lambda p: p.astype(dtype), params)

@@ -36,11 +36,14 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     chain = []
     if cfg.grad_clip is not None:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    mu_dtype = jnp.dtype(cfg.mu_dtype) if cfg.mu_dtype else None
     if cfg.weight_decay > 0:
         chain.append(optax.adamw(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-                                 weight_decay=cfg.weight_decay))
+                                 weight_decay=cfg.weight_decay,
+                                 mu_dtype=mu_dtype))
     else:
-        chain.append(optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps))
+        chain.append(optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                                mu_dtype=mu_dtype))
     tx = optax.chain(*chain)
     if cfg.accum_steps > 1:
         # gradient accumulation (replaces accelerate's grad-accum wrapper,

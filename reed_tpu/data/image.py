@@ -29,6 +29,8 @@ class ImageDatasetConfig:
     latents_subdir: str = "vae-sd"
     features_subdirs: Sequence[str] = ()      # e.g. ("features/dinov2",)
     text_embeds_subdir: Optional[str] = None  # e.g. "text_embeds_qwen7b_l15"
+    pixels_subdir: Optional[str] = None       # raw uint8 crops for the
+    #                                           in-loop frozen-encoder path
     latents_scale: float = 0.18215
     latents_bias: float = 0.0
 
@@ -61,6 +63,8 @@ class CachedLatentDataset:
         if self.cfg.text_embeds_subdir:
             out["z_text"] = self._npy(self.cfg.text_embeds_subdir,
                                       fname).astype(np.float32)
+        if self.cfg.pixels_subdir:
+            out["pixels"] = self._npy(self.cfg.pixels_subdir, fname)
         return out
 
 
@@ -93,7 +97,10 @@ def epoch_batches(dataset: CachedLatentDataset, batch_size: int, seed: int,
               and k != "z_text"]
         if "z_text" in stacked:
             zs.append(stacked["z_text"])
-        yield {"x": x, "y": stacked["y"], "zs": zs}
+        batch = {"x": x, "y": stacked["y"], "zs": zs}
+        if "pixels" in stacked:
+            batch["pixels"] = stacked["pixels"]
+        yield batch
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

@@ -28,15 +28,25 @@ def _guided_velocity(model_fn, x, t_cur, y, cfg_scale, guidance_low,
     t_vec = jnp.full((b,), t_cur, jnp.float32)
     if cfg_scale <= 1.0:
         return model_fn(x, t_vec, y)
-    y_null = jnp.full_like(y, num_classes)
-    x_in = jnp.concatenate([x, x], axis=0)
-    y_in = jnp.concatenate([y, y_null], axis=0)
-    t_in = jnp.concatenate([t_vec, t_vec], axis=0)
-    v = model_fn(x_in, t_in, y_in).astype(jnp.float32)
-    v_cond, v_uncond = jnp.split(v, 2, axis=0)
-    guided = v_uncond + cfg_scale * (v_cond - v_uncond)
+
+    def guided(x):
+        y_null = jnp.full_like(y, num_classes)
+        x_in = jnp.concatenate([x, x], axis=0)
+        y_in = jnp.concatenate([y, y_null], axis=0)
+        t_in = jnp.concatenate([t_vec, t_vec], axis=0)
+        v = model_fn(x_in, t_in, y_in).astype(jnp.float32)
+        v_cond, v_uncond = jnp.split(v, 2, axis=0)
+        return v_uncond + cfg_scale * (v_cond - v_uncond)
+
+    def unguided(x):
+        return model_fn(x, t_vec, y).astype(jnp.float32)
+
+    # lax.cond so steps outside the guidance interval pay ONE model call
+    # (the reference drops to a single batch there too,
+    # image/samplers.py:66-70; a where() over both would double the work
+    # of every step)
     in_window = (t_cur <= guidance_high) & (t_cur >= guidance_low)
-    return jnp.where(in_window, guided, v_cond)
+    return jax.lax.cond(in_window, guided, unguided, x)
 
 
 def euler_sampler(model_fn, latents, y, num_steps: int = 20, heun: bool = False,

@@ -65,6 +65,30 @@ class FrozenEncoder:
                 f"REED_TPU_ENCODER_DIR or use precomputed features")
         return self.model.apply(self.params, pixels, output="patch")
 
+    def encode(self, raw_pixels: np.ndarray):
+        """Raw uint8 [B,H,W,3] -> features, through a jitted forward with
+        the frozen params threaded as a jit ARGUMENT (closing over them
+        would bake every weight into the lowering as MLIR constants —
+        pathological through a remote-compile transport). This is the
+        in-loop frozen-encoder path (reference: image/train.py:348-360)."""
+        if self.params is None:
+            raise RuntimeError(f"no weights loaded for {self.name}")
+        if self._jit_fwd is None:
+            import jax
+
+            object.__setattr__(self, "_jit_fwd", jax.jit(
+                lambda p, x: self.model.apply(p, x, output="patch")))
+        return self._jit_fwd(self.params, self.preprocess(raw_pixels))
+
+    _jit_fwd: Optional[Callable] = None
+
+
+def encode_features(encoders: List["FrozenEncoder"],
+                    raw_pixels: np.ndarray) -> List:
+    """Per-batch frozen-encoder features for the REED alignment targets —
+    the in-loop alternative to precomputed features_subdirs."""
+    return [enc.encode(raw_pixels) for enc in encoders]
+
 
 def _make_preprocess(mean, std, resize_to, resolution):
     def preprocess(x: np.ndarray) -> np.ndarray:

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from reed_tpu.nn.layers import (
@@ -111,7 +112,10 @@ class SiT(nn.Module):
     projector_dim: int = 2048
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
-    remat: bool = False
+    # False | True (full block remat) | 'dots' (save matmul outputs only —
+    # recomputes elementwise/softmax, keeps the MXU results; the usual
+    # middle ground between no-remat OOM and full-remat slowdown)
+    remat: Any = False
     exact_gelu: bool = False  # torch parity (erf); tanh approx is faster
 
     @nn.compact
@@ -137,7 +141,11 @@ class SiT(nn.Module):
         c = t_emb + y_emb
 
         block_cls = SiTBlock
-        if self.remat:
+        if self.remat == "dots":
+            block_cls = nn.remat(
+                SiTBlock,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif self.remat:
             block_cls = nn.remat(SiTBlock)
 
         zs_image, zs_text = None, None

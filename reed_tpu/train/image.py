@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ class ImageTrainConfig:
     class_dropout_prob: float = 0.1
     compute_dtype: str = "bfloat16"
     attn_impl: str = "auto"
-    remat: bool = False
+    remat: Any = False  # False | True | 'dots' (see models/sit.py)
     exact_gelu: bool = False  # erf GELU, required for torch-checkpoint parity
     batch_size: int = 256
     loss: FlowMatchingLossConfig = FlowMatchingLossConfig()
@@ -133,7 +133,7 @@ class ImageTrainer:
                                     x, t, y, train=True)
         params = variables["params"]
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                          ema_params=ema_init(params),
+                          ema_params=ema_init(params, cfg.curriculum.ema_dtype),
                           opt_state=self.optimizer.init(params))
 
     def init_state(self) -> TrainState:

@@ -82,3 +82,33 @@ def test_npz_roundtrip(tmp_path):
 
 def test_text_z_dims():
     assert TEXT_Z_DIM_DICT["qwen7b"] == 3584
+
+
+def test_in_loop_encode_features(tmp_path):
+    """FrozenEncoder.encode runs the jitted forward on raw uint8 pixels with
+    params threaded as jit args (in-loop path, reference image/train.py:
+    348-360); features then flow into the image train step as zs."""
+    import jax
+
+    from reed_tpu.encoders.registry import encode_features, save_npz_params
+
+    # fabricate tiny 'converted' weights for a dinov2-vit-s encoder
+    from reed_tpu.encoders.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(image_size=224, patch_size=14, hidden_size=384,
+                    depth=12, num_heads=6, layerscale=True)
+    model = ViT(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 224, 224, 3), np.float32))
+    save_npz_params(str(tmp_path / "dinov2-vit-s.npz"), variables)
+
+    encoders, _, _ = load_encoders("dinov2-vit-s",
+                                   encoder_dir=str(tmp_path))
+    rng = np.random.default_rng(0)
+    pixels = rng.integers(0, 256, (2, 256, 256, 3)).astype(np.uint8)
+    (z,) = encode_features(encoders, pixels)
+    assert z.shape == (2, (224 // 14) ** 2, 384)
+    assert np.isfinite(np.asarray(z)).all()
+    # second call reuses the cached jitted forward
+    (z2,) = encode_features(encoders, pixels)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), rtol=1e-6)

@@ -11,7 +11,7 @@ from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
 from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
 
 
-def run(batch, remat, attn_impl, steps=10):
+def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None):
     cfg = ImageTrainConfig(
         model="SiT-XL/2", input_size=32, num_classes=1000,
         encoder_depth=8, encoder_depth_text=16,
@@ -20,10 +20,11 @@ def run(batch, remat, attn_impl, steps=10):
         batch_size=batch,
         loss=FlowMatchingLossConfig(enc_names=("dinov2", "qwen"),
                                     loss_weights=(1.0, 0.5)),
-        optim=OptimConfig(lr=1e-4, grad_clip=1.0),
+        optim=OptimConfig(lr=1e-4, grad_clip=1.0, mu_dtype=mu_dtype),
         curriculum=CurriculumConfig(proj_coeff=0.5,
                                     diffusion_warmup_steps=50_000,
-                                    max_steps=1_000_000),
+                                    max_steps=1_000_000,
+                                    ema_dtype=ema_dtype),
         mesh=MeshConfig(data=1),
     )
     try:
@@ -39,22 +40,31 @@ def run(batch, remat, attn_impl, steps=10):
                 state, m = trainer.train_step(state, data, rng)
             float(jax.device_get(m["loss"]))
             dt = time.perf_counter() - t0
-        print(f"batch={batch} remat={remat} attn={attn_impl}: "
+        print(f"batch={batch} remat={remat} attn={attn_impl} "
+              f"mu={mu_dtype} ema={ema_dtype}: "
               f"{batch * steps / dt:.1f} imgs/s", flush=True)
     except Exception as e:
-        print(f"batch={batch} remat={remat} attn={attn_impl}: FAILED "
+        print(f"batch={batch} remat={remat} attn={attn_impl} "
+              f"mu={mu_dtype} ema={ema_dtype}: FAILED "
               f"{type(e).__name__}: {str(e)[:120]}", flush=True)
     finally:
-        del trainer, state
+        pass
 
 
 if __name__ == "__main__":
     import sys
 
     configs = [
-        (32, False, "xla"),
-        (48, False, "xla"),
-        (64, False, "xla"),
+        dict(batch=32, remat=False, attn_impl="xla"),
+        dict(batch=48, remat=False, attn_impl="xla",
+             mu_dtype="bfloat16", ema_dtype="bfloat16"),
+        dict(batch=64, remat=False, attn_impl="xla",
+             mu_dtype="bfloat16", ema_dtype="bfloat16"),
+        dict(batch=64, remat="dots", attn_impl="xla"),
+        dict(batch=64, remat="dots", attn_impl="xla",
+             mu_dtype="bfloat16", ema_dtype="bfloat16"),
+        dict(batch=128, remat="dots", attn_impl="xla",
+             mu_dtype="bfloat16", ema_dtype="bfloat16"),
     ]
     for c in configs:
-        run(*c)
+        run(**c)

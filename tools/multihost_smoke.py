@@ -1,0 +1,76 @@
+"""Multi-host smoke: one REED image train step over a multi-process mesh.
+
+Each process owns 4 virtual CPU devices; jax.distributed.initialize wires
+them into one global mesh (the same call path a v5p pod uses — the CLI's
+--distributed flag). Per-host input goes through
+jax.make_array_from_process_local_data, proving the per-host data loading
+(reed_tpu.data.image.epoch_batches process_index/process_count slicing)
+composes with the global batch sharding.
+
+Usage (launched per process, or via tests/test_multihost.py):
+  python tools/multihost_smoke.py <proc_id> <num_procs> <coordinator_port>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main(proc_id: int, num_procs: int, port: str,
+         local_devices: int = 4) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={local_devices}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=num_procs,
+                               process_id=proc_id)
+    assert jax.process_count() == num_procs
+    assert jax.local_device_count() == local_devices
+    n_global = jax.device_count()
+
+    import numpy as np
+
+    from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
+    from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
+    from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
+
+    per_host = 2 * local_devices
+    cfg = ImageTrainConfig(
+        model="SiT-S/4", input_size=8, num_classes=8, encoder_depth=2,
+        z_dims=(16,), z_types=("i",), projector_dim=32,
+        compute_dtype="float32", batch_size=per_host * num_procs,
+        loss=FlowMatchingLossConfig(enc_names=("dinov2",),
+                                    loss_weights=(1.0,)),
+        optim=OptimConfig(lr=1e-3),
+        curriculum=CurriculumConfig(max_steps=10, diffusion_warmup_steps=0),
+        mesh=MeshConfig(data=n_global, fsdp=1, tensor=1),
+    )
+    trainer = ImageTrainer(cfg)
+    state = trainer.init_state()
+
+    # per-host local shard, different per process (as epoch_batches'
+    # process_index/process_count slicing produces)
+    local = trainer.synthetic_batch(jax.random.PRNGKey(proc_id),
+                                    batch_size=per_host)
+    global_batch = jax.tree.map(
+        lambda x, sh: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)),
+        dict(local), dict(trainer.batch_sharding))
+
+    with trainer.mesh:
+        state, metrics = trainer.train_step(state, global_batch,
+                                            jax.random.PRNGKey(0))
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss), loss
+    print(f"MULTIHOST_OK proc={proc_id}/{num_procs} "
+          f"devices={n_global} loss={loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
