@@ -51,9 +51,13 @@ def main():
 
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
-    # Per-chip batch 32 without rematerialization: measured fastest on v5e
-    # 16GB (145 imgs/s vs 96 at bs64+remat; see tools/bench_sweep.py)
-    batch = 32 * n_dev
+    # Per-chip batch 48 without remat, adam mu in bf16 (frees the HBM that
+    # bs48 activations need) and EMA applied every 8 steps with decay^8
+    # (same average, skips the 8GB/step EMA read-modify-write on 7/8 steps).
+    # Measured on v5e 16GB: 150.8 imgs/s vs 144.8 at the old bs32/f32
+    # config; bf16 EMA reaches 153 but stalls (updates round away below the
+    # bf16 ulp at decay 0.9999), so EMA stays f32. See tools/bench_sweep.py.
+    batch = 48 * n_dev
 
     cfg = ImageTrainConfig(
         model="SiT-XL/2",
@@ -70,10 +74,11 @@ def main():
         batch_size=batch,
         loss=FlowMatchingLossConfig(enc_names=("dinov2", "qwen"),
                                     loss_weights=(1.0, 0.5)),
-        optim=OptimConfig(lr=1e-4, grad_clip=1.0),
+        optim=OptimConfig(lr=1e-4, grad_clip=1.0, mu_dtype="bfloat16"),
         curriculum=CurriculumConfig(proj_coeff=0.5,
                                     diffusion_warmup_steps=50_000,
-                                    max_steps=1_000_000),
+                                    max_steps=1_000_000,
+                                    ema_every=8),
         mesh=MeshConfig(data=n_dev, fsdp=1, tensor=1),
     )
     trainer = ImageTrainer(cfg)
@@ -101,7 +106,7 @@ def main():
     print(json.dumps({
         "metric": "imgs/sec/chip",
         "value": round(imgs_per_sec_per_chip, 2),
-        "unit": "imgs/sec/chip (SiT-XL/2 REED train step, bs32/chip)",
+        "unit": "imgs/sec/chip (SiT-XL/2 REED train step, bs48/chip)",
         "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 3),
         "mfu": round(mfu, 4),
     }))

@@ -609,6 +609,12 @@ def eval_molecule(args):
             gen_mols = geometric_mols_from_samples(samples, QM9_ATOM_DECODER)
             out["moses"] = moses_metrics(gen_mols, test_mols,
                                          vocab_tokens=QM9_ATOM_DECODER)
+            # MiDi distribution distances (test.rsmol must use the same
+            # atom-type index space as the sampler's decoder)
+            from reed_tpu.eval.midi_metrics import midi_sampling_metrics
+
+            out["midi"] = midi_sampling_metrics(
+                gen_mols, test_mols, num_atom_types=len(QM9_ATOM_DECODER))
     print(json.dumps(out, indent=2))
 
 

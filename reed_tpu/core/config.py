@@ -38,7 +38,13 @@ class CurriculumConfig:
     max_steps: int = 1_000_000
     ema_decay: float = 0.9999
     ema_dtype: Optional[str] = None     # EMA param dtype ('bfloat16' halves
-    #                                     the EMA copy's HBM footprint)
+    #                                     the EMA copy's HBM footprint, but
+    #                                     decay>=0.999 updates round away —
+    #                                     prefer ema_every)
+    ema_every: int = 1                  # apply EMA every k optimizer steps
+    #                                     with decay^k: identical average,
+    #                                     skips the EMA HBM traffic on k-1
+    #                                     of k steps
 
 
 @dataclass(frozen=True)

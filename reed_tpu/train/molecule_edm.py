@@ -183,7 +183,7 @@ class MoleculeEDMTrainer:
             context=batch.get("context"), rep=batch.get("rep"), train=True)
         params = variables["params"]
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                          ema_params=ema_init(params, cfg.curriculum.ema_dtype),
+                          ema_params=ema_init(params, self.cfg.curriculum.ema_dtype),
                           opt_state=self.optimizer.init(params))
 
     def init_state(self) -> TrainState:

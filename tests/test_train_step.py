@@ -167,3 +167,34 @@ def test_grad_accumulation_ema_and_curriculum_gating():
     assert float(m0["diffusion_decay"]) == 0.0
     assert float(m1["diffusion_decay"]) == 0.0
     assert float(m2["diffusion_decay"]) > 0.0
+
+
+def test_ema_every_k_matches_per_step_average():
+    """ema_every=k with decay^k must track the same average as per-step EMA
+    (same fixed batch => params converge identically)."""
+    base = {**TINY.__dict__, "mesh": MeshConfig(data=1, fsdp=1, tensor=1)}
+    c1 = TINY.__class__(**{**base, "curriculum": CurriculumConfig(
+        proj_coeff=0.5, diffusion_warmup_steps=0, max_steps=100,
+        ema_decay=0.9, ema_every=1)})
+    c4 = TINY.__class__(**{**base, "curriculum": CurriculumConfig(
+        proj_coeff=0.5, diffusion_warmup_steps=0, max_steps=100,
+        ema_decay=0.9, ema_every=4)})
+    t1, t4 = ImageTrainer(c1), ImageTrainer(c4)
+    s1, s4 = t1.init_state(), t4.init_state()
+    batch = t1.synthetic_batch()
+    with t1.mesh:
+        for _ in range(8):
+            s1, _ = t1.train_step(s1, batch, jax.random.PRNGKey(0))
+    with t4.mesh:
+        for _ in range(8):
+            s4, _ = t4.train_step(s4, batch, jax.random.PRNGKey(0))
+    p1 = np.asarray(jax.tree.leaves(s1.params)[1])
+    p4 = np.asarray(jax.tree.leaves(s4.params)[1])
+    np.testing.assert_allclose(p1, p4, rtol=1e-5)  # params identical
+    e1 = np.asarray(jax.tree.leaves(s1.ema_params)[1])
+    e4 = np.asarray(jax.tree.leaves(s4.ema_params)[1])
+    e0 = np.asarray(jax.tree.leaves(t4.init_state().ema_params)[1])
+    # both EMAs moved, and the k-step EMA stays close to the per-step one
+    assert not np.allclose(e4, e0)
+    denom = np.abs(e1 - e0).max() + 1e-12
+    assert np.abs(e1 - e4).max() / denom < 0.35

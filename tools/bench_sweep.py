@@ -11,7 +11,7 @@ from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
 from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
 
 
-def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None):
+def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None, ema_every=1):
     cfg = ImageTrainConfig(
         model="SiT-XL/2", input_size=32, num_classes=1000,
         encoder_depth=8, encoder_depth_text=16,
@@ -24,7 +24,8 @@ def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None):
         curriculum=CurriculumConfig(proj_coeff=0.5,
                                     diffusion_warmup_steps=50_000,
                                     max_steps=1_000_000,
-                                    ema_dtype=ema_dtype),
+                                    ema_dtype=ema_dtype,
+                                    ema_every=ema_every),
         mesh=MeshConfig(data=1),
     )
     try:
@@ -41,7 +42,7 @@ def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None):
             float(jax.device_get(m["loss"]))
             dt = time.perf_counter() - t0
         print(f"batch={batch} remat={remat} attn={attn_impl} "
-              f"mu={mu_dtype} ema={ema_dtype}: "
+              f"mu={mu_dtype} ema={ema_dtype} ema_every={ema_every}: "
               f"{batch * steps / dt:.1f} imgs/s", flush=True)
     except Exception as e:
         print(f"batch={batch} remat={remat} attn={attn_impl} "
@@ -55,16 +56,10 @@ if __name__ == "__main__":
     import sys
 
     configs = [
-        dict(batch=32, remat=False, attn_impl="xla"),
-        dict(batch=48, remat=False, attn_impl="xla",
-             mu_dtype="bfloat16", ema_dtype="bfloat16"),
-        dict(batch=64, remat=False, attn_impl="xla",
-             mu_dtype="bfloat16", ema_dtype="bfloat16"),
-        dict(batch=64, remat="dots", attn_impl="xla"),
-        dict(batch=64, remat="dots", attn_impl="xla",
-             mu_dtype="bfloat16", ema_dtype="bfloat16"),
-        dict(batch=128, remat="dots", attn_impl="xla",
-             mu_dtype="bfloat16", ema_dtype="bfloat16"),
+        dict(batch=48, remat=False, attn_impl="xla", mu_dtype="bfloat16",
+             ema_every=8),
+        dict(batch=48, remat=False, attn_impl="xla", mu_dtype="bfloat16",
+             ema_every=8, steps=30),
     ]
     for c in configs:
         run(**c)
