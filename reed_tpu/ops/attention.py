@@ -57,8 +57,12 @@ def _pallas_ok(q) -> bool:
     if not _on_tpu():
         return False
     b, s, h, d = q.shape
-    # The kernel needs seq a multiple of 128 and pads head_dim to the
-    # 128-lane tile — padding (e.g. SiT's d=72) wastes MXU work and
-    # measured slower than XLA SDPA, so only take the kernel when the head
-    # dim is already lane-aligned.
-    return s % 128 == 0 and s >= 128 and d % 128 == 0
+    # Measured on v5e (tools/bench_attention.py, 2026-08): XLA's fused SDPA
+    # wins at every REED shape — S<=256 tokens, including lane-aligned
+    # D=128 (1468us vs 1830us fwd) and the SiT-XL flagship D=72 where the
+    # kernel's 72->128 lane padding wastes 44% of MXU work (full train step
+    # 150.8 imgs/s XLA vs 134.0 forced-pallas). The Pallas kernel only
+    # starts paying at long sequences (S=1024: 2013us vs 2294us; S=2048:
+    # 2438us vs 3337us), so auto-enable needs BOTH lane-aligned head dim
+    # and S >= 1024.
+    return s % 128 == 0 and s >= 1024 and d % 128 == 0

@@ -56,8 +56,8 @@ if __name__ == "__main__":
     import sys
 
     configs = [
-        dict(batch=48, remat=False, attn_impl="xla", mu_dtype="bfloat16",
-             ema_every=8),
+        dict(batch=48, remat=False, attn_impl="pallas", mu_dtype="bfloat16",
+             ema_every=8, steps=30),
         dict(batch=48, remat=False, attn_impl="xla", mu_dtype="bfloat16",
              ema_every=8, steps=30),
     ]
