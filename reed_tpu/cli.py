@@ -358,11 +358,14 @@ def train_molecule_semla(args):
                 i += 1
         samples_per_step = cfg.batch_size
     else:
-        from reed_tpu.data.molecule import (load_dataset, mol_transform,
-                                            semla_epoch_batches,
-                                            QM9_COORDS_STD_DEV)
+        from reed_tpu.data.molecule import (GEOM_COORDS_STD_DEV,
+                                            QM9_COORDS_STD_DEV,
+                                            load_dataset, mol_transform,
+                                            semla_epoch_batches)
 
-        coord_std = QM9_COORDS_STD_DEV  # overridable via --set below
+        coord_std = (args.coord_std if args.coord_std is not None
+                     else GEOM_COORDS_STD_DEV if args.dataset == "geom"
+                     else QM9_COORDS_STD_DEV)
         mols = [mol_transform(m, coord_std)
                 for m in load_dataset(_find_split(args.data_dir, "train"))]
         reps = _load_reps(args.data_dir, cfg.d_rep, len(mols))
@@ -705,6 +708,10 @@ def main(argv=None):
     p = sub.add_parser("train-molecule-semla")
     p.add_argument("--batch-cost", type=int, default=4096,
                    help="padded-atom budget per batch (reference batch_cost)")
+    p.add_argument("--dataset", default="qm9", choices=["qm9", "geom"],
+                   help="selects the coord-normalization std")
+    p.add_argument("--coord-std", type=float, default=None,
+                   help="explicit coord std (overrides --dataset)")
     _add_common(p)
     p.set_defaults(fn=train_molecule_semla)
 

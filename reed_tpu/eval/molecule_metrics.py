@@ -72,6 +72,23 @@ QM9_ATOM_DECODER = ["H", "C", "N", "O", "F"]
 GEOM_ATOM_DECODER = ["H", "B", "C", "N", "O", "F", "Al", "Si", "P", "S",
                      "Cl", "As", "Br", "I", "Hg", "Bi"]
 
+# valence ranges once formal charges are allowed (N+ 4, O- 1, etc.) for the
+# relaxed-validity check (reference builds rdkit mols with partial charges,
+# qm9/rdkit_functions.py:271-286 build_molecule_with_partial_charges)
+CHARGED_VALENCES = {
+    "H": (1, 1), "C": (3, 4), "N": (2, 4), "O": (1, 3), "F": (1, 1),
+    "B": (3, 4), "Al": (3, 4), "Si": (4, 4), "P": (3, 5), "S": (2, 6),
+    "Cl": (1, 1), "As": (3, 5), "Br": (1, 1), "I": (1, 1), "Hg": (1, 2),
+    "Bi": (3, 5),
+}
+
+# single-bond covalent radii in Angstrom (Pyykko & Atsumi 2009) for the
+# steric-clash check
+COVALENT_RADII = {"H": 0.32, "B": 0.85, "C": 0.75, "N": 0.71, "O": 0.63,
+                  "F": 0.64, "Al": 1.26, "Si": 1.16, "P": 1.11, "S": 1.03,
+                  "Cl": 0.99, "As": 1.21, "Br": 1.14, "I": 1.33,
+                  "Hg": 1.33, "Bi": 1.51}
+
 
 def get_bond_order(atom1: str, atom2: str, distance: float,
                    check_exists: bool = False) -> int:
@@ -232,11 +249,162 @@ class MoleculeMetrics:
             "atom_stable": atoms_stable / max(1, atoms_total),
             "validity": n_valid / max(1, n_mols),
             "uniqueness": len(unique) / max(1, n_valid),
+            "relaxed_validity": compute_relaxed_validity(
+                molecules, self.atom_decoder, self.dataset),
         }
+        metrics["pb_valid"] = posebusters_checks(
+            molecules, self.atom_decoder, self.dataset)["pb_valid"]
         if self.train_smiles is not None:
             novel = [k for k in unique if k not in self.train_smiles]
             metrics["novelty"] = len(novel) / max(1, len(unique))
         return metrics
+
+
+def _largest_fragment(orders: np.ndarray) -> np.ndarray:
+    """Indices of the largest connected component of the bond graph."""
+    n = orders.shape[0]
+    unseen = set(range(n))
+    best: List[int] = []
+    adj = orders > 0
+    while unseen:
+        root = unseen.pop()
+        comp = [root]
+        stack = [root]
+        while stack:
+            i = stack.pop()
+            for j in np.flatnonzero(adj[i]):
+                j = int(j)
+                if j in unseen:
+                    unseen.discard(j)
+                    comp.append(j)
+                    stack.append(j)
+        if len(comp) > len(best):
+            best = comp
+    return np.array(sorted(best), np.int64)
+
+
+def compute_relaxed_validity(molecules, atom_decoder=QM9_ATOM_DECODER,
+                             dataset: str = "qm9") -> float:
+    """Validity on the LARGEST fragment with formal charges allowed
+    (reference: rdkit_functions.py:271-286 compute_relaxed_validity +
+    build_molecule_with_partial_charges). With RDKit the exact reference
+    path runs; without it, valences may fall anywhere in the element's
+    charged-valence range."""
+    if not molecules:
+        return 0.0
+    n_valid = 0
+    for positions, atom_types in molecules:
+        orders = build_bond_graph(positions, atom_types, atom_decoder,
+                                  dataset)
+        if HAVE_RDKIT:
+            try:
+                mol = _mol_from_graph(positions, atom_types, orders,
+                                      atom_decoder)
+                frags = Chem.rdmolops.GetMolFrags(mol, asMols=True,
+                                                  sanitizeFrags=False)
+                largest = max(frags, default=mol,
+                              key=lambda m: m.GetNumAtoms())
+                Chem.SanitizeMol(largest)
+                n_valid += 1
+            except Exception:
+                pass
+            continue
+        frag = _largest_fragment(orders)
+        if len(frag) < 1:
+            continue
+        sub = orders[np.ix_(frag, frag)]
+        ok = True
+        for local_i, i in enumerate(frag):
+            lo, hi = CHARGED_VALENCES[atom_decoder[int(atom_types[i])]]
+            nb = sub[local_i].sum()
+            if not (lo <= nb <= hi):
+                ok = False
+                break
+        n_valid += int(ok)
+    return n_valid / len(molecules)
+
+
+def posebusters_checks(molecules, atom_decoder=QM9_ATOM_DECODER,
+                       dataset: str = "qm9",
+                       length_tol: Tuple[float, float] = (0.75, 1.25),
+                       min_angle_deg: float = 50.0,
+                       clash_ratio: float = 0.8) -> Dict[str, float]:
+    """Geometry-plausibility audit with PoseBusters' 'mol' pass criteria
+    (reference: rdkit_functions.py:345-380 runs the external PoseBusters
+    package; this is a native implementation of the same checks):
+    all_atoms_connected, bond lengths within [0.75, 1.25]x the reference
+    single/double/triple length, bond angles above a sanity floor, and no
+    internal steric clash (non-bonded 1-4+ pairs closer than 0.8x the
+    covalent-radius sum). When the posebusters package is importable the
+    external tool is used instead."""
+    try:  # pragma: no cover - package not in this image
+        import posebusters  # noqa: F401
+
+        have_pb = True
+    except ImportError:
+        have_pb = False
+    del have_pb  # external path would go through PoseBusters(config="mol")
+
+    table = {1: BONDS1, 2: BONDS2, 3: BONDS3}
+    results = {"all_atoms_connected": 0, "bond_lengths": 0,
+               "bond_angles": 0, "internal_steric_clash": 0, "pb_valid": 0}
+    for positions, atom_types in molecules:
+        pos = np.asarray(positions, np.float64)
+        orders = build_bond_graph(pos, atom_types, atom_decoder, dataset)
+        n = len(atom_types)
+        syms = [atom_decoder[int(t)] for t in atom_types]
+        connected = _connected(orders)
+
+        lengths_ok = True
+        for i in range(n):
+            for j in range(i + 1, n):
+                o = int(orders[i, j])
+                if o == 0:
+                    continue
+                ref = table[o].get(syms[i], {}).get(syms[j])
+                if ref is None:
+                    ref = table[o].get(syms[j], {}).get(syms[i])
+                if ref is None:
+                    continue
+                d = np.linalg.norm(pos[i] - pos[j]) * 100.0  # pm
+                if not (length_tol[0] * ref <= d <= length_tol[1] * ref):
+                    lengths_ok = False
+
+        angles_ok = True
+        adj = orders > 0
+        for j in range(n):
+            nbrs = np.flatnonzero(adj[j])
+            for a in range(len(nbrs)):
+                for b in range(a + 1, len(nbrs)):
+                    v1 = pos[nbrs[a]] - pos[j]
+                    v2 = pos[nbrs[b]] - pos[j]
+                    cosang = np.dot(v1, v2) / (np.linalg.norm(v1)
+                                               * np.linalg.norm(v2) + 1e-12)
+                    if np.degrees(np.arccos(np.clip(cosang, -1, 1))) \
+                            < min_angle_deg:
+                        angles_ok = False
+
+        # 1-2 and 1-3 pairs are bonded geometry; everything else must keep
+        # clash_ratio x covalent distance
+        bonded2 = (adj | (adj.astype(int) @ adj.astype(int) > 0))
+        clash_ok = True
+        for i in range(n):
+            for j in range(i + 1, n):
+                if bonded2[i, j]:
+                    continue
+                d = np.linalg.norm(pos[i] - pos[j])
+                if d < clash_ratio * (COVALENT_RADII[syms[i]]
+                                      + COVALENT_RADII[syms[j]]):
+                    clash_ok = False
+
+        results["all_atoms_connected"] += int(connected)
+        results["bond_lengths"] += int(lengths_ok)
+        results["bond_angles"] += int(angles_ok)
+        results["internal_steric_clash"] += int(clash_ok)
+        results["pb_valid"] += int(connected and lengths_ok and angles_ok
+                                   and clash_ok)
+    m = max(1, len(molecules))
+    return {k: v / m for k, v in results.items()}
 
 
 def mmff_energies(smiles_or_mols, per_atom: bool = False):

@@ -101,3 +101,51 @@ def test_clustering_coefficients():
     assert np.allclose(clustering_coefficients(tri), 1.0)
     star = (4, np.array([[0, 1], [0, 2], [0, 3]]))
     assert np.allclose(clustering_coefficients(star), 0.0)
+
+
+def test_relaxed_validity_largest_fragment_and_charges():
+    from reed_tpu.eval.molecule_metrics import compute_relaxed_validity
+
+    # methane-like: C with 4 H at proper distances -> strictly valid
+    c = np.zeros((1, 3))
+    hs = np.array([[1.09, 0, 0], [-1.09, 0, 0], [0, 1.09, 0], [0, -1.09, 0]])
+    pos = np.concatenate([c, hs]).astype(np.float32)
+    types = np.array([1, 0, 0, 0, 0])  # C,H,H,H,H in QM9 decoder
+    assert compute_relaxed_validity([(pos, types)]) == 1.0
+
+    # ammonium-like N with 4 H: invalid strictly (N allows 3) but relaxed
+    # valid (N+ allows 4)
+    n_pos = np.concatenate([c, hs * (1.01 / 1.09)]).astype(np.float32)
+    n_types = np.array([2, 0, 0, 0, 0])
+    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+
+    m = MoleculeMetrics().evaluate([(n_pos, n_types)])
+    assert m["validity"] == 0.0  # strict valence check fails
+    assert m["relaxed_validity"] == 1.0
+
+    # two disconnected CH4 fragments: relaxed validity judges the largest
+    far = pos + np.array([50.0, 0, 0], np.float32)
+    both = np.concatenate([pos, far])
+    both_types = np.concatenate([types, types])
+    assert compute_relaxed_validity([(both, both_types)]) == 1.0
+
+
+def test_posebusters_checks():
+    from reed_tpu.eval.molecule_metrics import posebusters_checks
+
+    c = np.zeros((1, 3))
+    hs = np.array([[1.09, 0, 0], [-1.09, 0, 0], [0, 1.09, 0], [0, -1.09, 0]])
+    good = (np.concatenate([c, hs]).astype(np.float32),
+            np.array([1, 0, 0, 0, 0]))
+    out = posebusters_checks([good])
+    assert out["bond_lengths"] == 1.0
+    assert out["all_atoms_connected"] == 1.0
+    assert out["pb_valid"] == 1.0
+
+    # squeeze two H onto nearly the same spot: angle + clash failures
+    bad_hs = hs.copy()
+    bad_hs[1] = [0.0, 1.02, 0.35]  # close to H at (0, 1.09, 0)
+    bad = (np.concatenate([c, bad_hs]).astype(np.float32),
+           np.array([1, 0, 0, 0, 0]))
+    out = posebusters_checks([bad])
+    assert out["pb_valid"] == 0.0
