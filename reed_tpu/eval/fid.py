@@ -77,16 +77,27 @@ def generate_samples(model_fn: Callable, params, cfg: FIDGenConfig,
             x = euler_sampler(bound_model_fn, z, y, heun=cfg.heun, **kwargs)
         return x / cfg.latents_scale + cfg.latents_bias
 
+    import time
+
     outs = []
     base_rng = jax.random.PRNGKey(cfg.seed)
+    t0 = None
     for i in range(n_iters):
         latents = sample_batch(params, jax.random.fold_in(base_rng, i))
         latents = np.asarray(jax.device_get(latents))
+        if i == 0:
+            t0 = time.perf_counter()  # exclude the compile iteration
         if decode_fn is not None:
             imgs = decode_fn(latents)
         else:
             imgs = latents
         outs.append(imgs)
+    if n_iters > 1 and t0 is not None:
+        dt = time.perf_counter() - t0
+        per_batch = dt / (n_iters - 1)
+        print(f"sampler throughput: {cfg.num_steps / per_batch:.1f} "
+              f"steps/sec at batch {cfg.batch_size} "
+              f"({cfg.batch_size / per_batch:.1f} imgs/sec)")
     samples = np.concatenate(outs, axis=0)[:cfg.num_samples]
 
     if out_npz is not None and jax.process_index() == 0:
