@@ -621,6 +621,52 @@ def eval_molecule(args):
     print(json.dumps(out, indent=2))
 
 
+def eval_multiflow(args):
+    """Sample SE(3) backbones + sequences, write PDB files, report backbone
+    geometry stats (reference: multiflow/experiments/inference_se3_flows.py;
+    folding designability needs external binaries and stays gated)."""
+    from reed_tpu.eval.protein_metrics import (backbone_geometry_report,
+                                               tokens_to_sequence,
+                                               write_pdb_backbone)
+    from reed_tpu.ops.residue_constants import to_atom37
+    from reed_tpu.train.multiflow import MultiflowTrainConfig, MultiflowTrainer
+
+    cfg = _resolve_cfg(MultiflowTrainConfig, args)
+    trainer = MultiflowTrainer(cfg)
+    state = trainer.init_state()
+    if args.ckpt_dir:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        state = CheckpointManager(args.ckpt_dir).restore(
+            jax.eval_shape(lambda: state))
+
+    out = trainer.sample(state.ema_params, jax.random.PRNGKey(cfg.seed),
+                         args.num_samples, args.length,
+                         num_timesteps=args.num_steps)
+    trans = np.asarray(out["trans"])
+    rotmats = np.asarray(out["rotmats"])
+    aatypes = np.asarray(out["aatypes"])
+    atom37 = np.asarray(to_atom37(jnp.asarray(trans), jnp.asarray(rotmats)))
+
+    reports = []
+    out_dir = args.out or "out/multiflow_samples"
+    for i in range(args.num_samples):
+        rep = backbone_geometry_report(atom37[i])
+        rep["pdb"] = write_pdb_backbone(
+            os.path.join(out_dir, f"sample_{i}.pdb"), atom37[i],
+            aatypes=aatypes[i])
+        from reed_tpu.ops.residue_constants import RESTYPES
+
+        rep["sequence"] = "".join(
+            (RESTYPES[int(t)] if 0 <= int(t) < 20 else "X")
+            for t in aatypes[i])
+        reports.append(rep)
+    mean = {k: float(np.mean([r[k] for r in reports]))
+            for k in ("ca_ca_dist_mean", "radius_of_gyration",
+                      "ca_clash_fraction")}
+    print(json.dumps({"mean": mean, "samples": reports}, indent=2))
+
+
 def generate_image(args):
     """FID sample generation: sample latents -> VAE-decode to 256x256 uint8
     pixels -> ADM-suite npz (reference: image/generate.py:106-174)."""
@@ -736,6 +782,14 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=100)
     _add_common(p)
     p.set_defaults(fn=eval_molecule)
+
+    p = sub.add_parser("eval-multiflow")
+    p.add_argument("--num-samples", type=int, default=4)
+    p.add_argument("--length", type=int, default=64)
+    p.add_argument("--num-steps", type=int, default=100)
+    p.add_argument("--out", default=None, help="PDB output dir")
+    _add_common(p)
+    p.set_defaults(fn=eval_multiflow)
 
     p = sub.add_parser("generate-image")
     p.add_argument("--model", default=None, help="e.g. SiT-XL/2")

@@ -204,3 +204,67 @@ def parse_mmcif_backbone(cif_path: str, chain: Optional[str] = None):
         np.zeros((0, 4, 3))
     seq = "".join(aa3to1.get(resnames[k], "X") for k in keys)
     return coords, seq
+
+
+def write_pdb_backbone(path: str, atom37: np.ndarray,
+                       aatypes: Optional[np.ndarray] = None,
+                       res_mask: Optional[np.ndarray] = None,
+                       chain: str = "A"):
+    """Write backbone atoms (atom37 order: N, CA, C, CB, O) of one chain to
+    a PDB file — the sampling-output path the reference gets from
+    multiflow/data/protein.py to_pdb (clean-room minimal writer)."""
+    from reed_tpu.ops.residue_constants import RESTYPE_1TO3, RESTYPES
+
+    atom_names = ["N", "CA", "C", "CB", "O"]
+    elements = ["N", "C", "C", "C", "O"]
+    a37 = np.asarray(atom37)
+    n_res = a37.shape[0]
+    mask = (np.asarray(res_mask) if res_mask is not None
+            else np.ones(n_res))
+    lines = []
+    serial = 1
+    for r in range(n_res):
+        if mask[r] <= 0:
+            continue
+        res3 = "ALA"
+        if aatypes is not None and 0 <= int(aatypes[r]) < 20:
+            res3 = RESTYPE_1TO3[RESTYPES[int(aatypes[r])]]
+        for a, (name, elem) in enumerate(zip(atom_names, elements)):
+            if res3 == "GLY" and name == "CB":
+                continue
+            x, y, z = a37[r, a]
+            lines.append(
+                f"ATOM  {serial:5d}  {name:<3s}{res3} {chain}{r + 1:4d}"
+                f"    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00"
+                f"          {elem:>2s}")
+            serial += 1
+    lines.append("TER")
+    lines.append("END")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def backbone_geometry_report(atom37: np.ndarray,
+                             res_mask: Optional[np.ndarray] = None
+                             ) -> Dict[str, float]:
+    """Sanity stats over a sampled backbone: CA-CA distances (ideal 3.8 A),
+    radius of gyration, CA clash fraction (reference gates these through
+    folding designability, which needs external binaries)."""
+    a37 = np.asarray(atom37)
+    mask = (np.asarray(res_mask).astype(bool) if res_mask is not None
+            else np.ones(a37.shape[0], bool))
+    ca = a37[mask, 1]
+    if len(ca) < 2:
+        return {"ca_ca_dist_mean": float("nan")}
+    d = np.linalg.norm(np.diff(ca, axis=0), axis=-1)
+    com = ca.mean(0)
+    rg = float(np.sqrt(((ca - com) ** 2).sum(-1).mean()))
+    pair = np.linalg.norm(ca[:, None] - ca[None], axis=-1)
+    iu = np.triu_indices(len(ca), 2)  # non-adjacent pairs
+    clash = float((pair[iu] < 3.0).mean()) if len(iu[0]) else 0.0
+    return {"ca_ca_dist_mean": float(d.mean()),
+            "ca_ca_dist_std": float(d.std()),
+            "radius_of_gyration": rg,
+            "ca_clash_fraction": clash}

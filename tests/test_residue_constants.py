@@ -135,3 +135,23 @@ def test_multiflow_trains_with_batch_ot():
         state, metrics = trainer.train_step(state, batch,
                                             jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pdb_roundtrip_via_atom37(tmp_path):
+    """write_pdb_backbone -> parse_pdb_backbone roundtrips N/CA/C/O."""
+    from reed_tpu.eval.protein_metrics import (parse_pdb_backbone,
+                                               write_pdb_backbone)
+
+    rng = jax.random.PRNGKey(0)
+    n = 8
+    trans = jax.random.normal(jax.random.fold_in(rng, 1), (1, n, 3)) * 4
+    rots = sample_uniform_rotations(jax.random.fold_in(rng, 2), (1, n))
+    a37 = np.asarray(rc.to_atom37(trans, rots))[0]
+    aatypes = np.asarray(jax.random.randint(rng, (n,), 0, 20))
+    path = str(tmp_path / "bb.pdb")
+    write_pdb_backbone(path, a37, aatypes=aatypes)
+    back = parse_pdb_backbone(path)  # [L, 4, 3] N/CA/C/O
+    assert back.shape == (n, 4, 3)
+    # atom37 order is N,CA,C,CB,O; parse returns N,CA,C,O
+    np.testing.assert_allclose(back[:, :3], a37[:, :3], atol=2e-3)
+    np.testing.assert_allclose(back[:, 3], a37[:, 4], atol=2e-3)
