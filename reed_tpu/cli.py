@@ -461,6 +461,145 @@ def train_rdm(args):
           "finite:", bool(jnp.all(jnp.isfinite(reps))))
 
 
+def train_property(args):
+    """Train the EGNN property regressor on a QM9-layout npz with property
+    columns (reference: qm9/property_prediction/main_qm9_prop.py)."""
+    from reed_tpu.train.property import (PropertyTrainConfig, PropertyTrainer,
+                                         compute_mean_mad,
+                                         property_epoch_batches)
+
+    defaults = {}
+    data = None
+    if args.data_dir and not args.synthetic:
+        from reed_tpu.data.molecule import load_qm9_edm_npz
+
+        data = load_qm9_edm_npz(_find_split(args.data_dir, "train"))
+        if args.property not in data:
+            raise SystemExit(f"property '{args.property}' not in npz keys "
+                             f"{sorted(data)}")
+        mean, mad = compute_mean_mad(data[args.property])
+        defaults = {"mean": mean, "mad": mad}
+        print(f"property {args.property}: mean={mean:.4f} mad={mad:.4f}")
+    cfg = _resolve_cfg(PropertyTrainConfig, args,
+                       defaults={**defaults, "property": args.property})
+    trainer = PropertyTrainer(cfg)
+    state = trainer.init_state()
+
+    if data is None:
+        def gen():
+            i = 0
+            while True:
+                yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+                i += 1
+    else:
+        def gen():
+            epoch = 0
+            while True:
+                rng = np.random.default_rng((args.seed or 0) + epoch)
+                yield from property_epoch_batches(
+                    data, cfg.property, cfg.batch_size, rng,
+                    max_nodes=cfg.max_nodes,
+                    num_atom_types=cfg.num_atom_types)
+                epoch += 1
+
+    _run_loop(trainer, state, gen(), args, cfg.batch_size, cfg=cfg)
+
+
+def eval_conditional(args):
+    """Conditional-generation MAE: sample property-conditioned molecules
+    from an EDM checkpoint and score them with a trained property
+    classifier (reference: molecule/eval_src/eval_conditional_qm9.py)."""
+    from reed_tpu.eval.molecule_metrics import (DistributionNodes,
+                                                DistributionProperty)
+    from reed_tpu.train.molecule_edm import (MoleculeEDMConfig,
+                                             MoleculeEDMTrainer)
+    from reed_tpu.train.property import (PropertyTrainConfig, PropertyTrainer,
+                                         compute_mean_mad)
+
+    np_rng = np.random.default_rng(args.seed or 0)
+    gen_cfg = _resolve_cfg(MoleculeEDMConfig, args,
+                           defaults={"batch_size": args.n_samples,
+                                     "context_node_nf": 1,
+                                     "edm": {"timesteps": args.num_steps}})
+    trainer = MoleculeEDMTrainer(gen_cfg)
+    state = trainer.init_state()
+    if args.ckpt_dir:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        state = CheckpointManager(args.ckpt_dir).restore(
+            jax.eval_shape(lambda: state))
+
+    # property/size distributions from the training split when available
+    if args.data_dir:
+        from reed_tpu.data.molecule import load_qm9_edm_npz
+
+        data = load_qm9_edm_npz(_find_split(args.data_dir, "train"))
+        sizes_src = np.minimum(np.asarray(data["num_atoms"], np.int64),
+                               gen_cfg.max_nodes)
+        values = np.asarray(data[args.property], np.float64)
+        mean, mad = compute_mean_mad(values)
+    else:
+        sizes_src = np_rng.integers(gen_cfg.max_nodes // 2,
+                                    gen_cfg.max_nodes + 1, 512)
+        values = np_rng.standard_normal(512)
+        mean, mad = 0.0, 1.0
+    node_dist = DistributionNodes(
+        {int(s): float((sizes_src == s).sum())
+         for s in np.unique(sizes_src)})
+    prop_dist = DistributionProperty(sizes_src, values)
+
+    clf_cfg = PropertyTrainConfig(
+        property=args.property, mean=mean, mad=mad,
+        num_atom_types=gen_cfg.num_atom_types, max_nodes=gen_cfg.max_nodes,
+        mesh=gen_cfg.mesh)
+    clf = PropertyTrainer(clf_cfg)
+    clf_state = clf.init_state()
+    if args.classifier_ckpt:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        clf_state = CheckpointManager(args.classifier_ckpt).restore(
+            jax.eval_shape(lambda: clf_state))
+
+    n = gen_cfg.max_nodes
+    maes, all_targets = [], []
+    for rep_i in range(args.n_replicates):
+        sizes = node_dist.sample(np_rng, args.n_samples)
+        targets = prop_dist.sample(np_rng, sizes)         # label units
+        norm_t = (targets - mean) / mad                   # context units
+        node_mask = (np.arange(n)[None, :] < sizes[:, None]
+                     ).astype(np.float32)[..., None]
+        diag = np.eye(n, dtype=np.float32)[None, :, :, None]
+        edge_mask = (node_mask[:, :, None, :] * node_mask[:, None, :, :]
+                     * (1 - diag))
+        context = np.broadcast_to(
+            norm_t[:, None, None].astype(np.float32),
+            (args.n_samples, n, 1)) * node_mask
+        rep = None
+        if gen_cfg.rep_nf:
+            rep = np_rng.standard_normal(
+                (args.n_samples, gen_cfg.rep_nf)).astype(np.float32)
+        x, h_cat, h_int = trainer.sample(
+            state.ema_params, jax.random.PRNGKey((args.seed or 0) + rep_i),
+            args.n_samples, jnp.asarray(node_mask), jnp.asarray(edge_mask),
+            rep=None if rep is None else jnp.asarray(rep),
+            context=jnp.asarray(context))
+        preds = clf.predict(clf_state.ema_params, h_cat, x,
+                            jnp.asarray(node_mask), jnp.asarray(edge_mask))
+        mae = float(jnp.mean(jnp.abs(jnp.asarray(preds)
+                                     - jnp.asarray(targets))))
+        maes.append(mae)
+        all_targets.append(targets)
+    out = {"property": args.property,
+           "mae": float(np.mean(maes)),
+           "mae_std": float(np.std(maes)),
+           "n_samples": args.n_samples * args.n_replicates,
+           # naive predict-the-mean floor for context (ref logs it too)
+           "mad_of_targets": float(np.abs(
+               np.concatenate(all_targets)
+               - np.concatenate(all_targets).mean()).mean())}
+    print(json.dumps(out, indent=2))
+
+
 def eval_protein(args):
     """Inverse-folding eval: Euler-unmask sampling conditioned on backbones,
     sequence recovery + (optional) Kabsch RMSD against the native structure
@@ -769,6 +908,12 @@ def main(argv=None):
     _add_common(p)
     p.set_defaults(fn=train_rdm)
 
+    p = sub.add_parser("train-property")
+    p.add_argument("--property", default="alpha",
+                   help="QM9 property column: alpha|gap|homo|lumo|mu|Cv|...")
+    _add_common(p)
+    p.set_defaults(fn=train_property)
+
     p = sub.add_parser("eval-protein")
     p.add_argument("--num-steps", type=int, default=100)
     p.add_argument("--length", type=int, default=64)
@@ -782,6 +927,16 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=100)
     _add_common(p)
     p.set_defaults(fn=eval_molecule)
+
+    p = sub.add_parser("eval-conditional")
+    p.add_argument("--property", default="alpha")
+    p.add_argument("--n-samples", type=int, default=16)
+    p.add_argument("--n-replicates", type=int, default=2)
+    p.add_argument("--num-steps", type=int, default=50)
+    p.add_argument("--classifier-ckpt", default=None,
+                   help="train-property checkpoint dir")
+    _add_common(p)
+    p.set_defaults(fn=eval_conditional)
 
     p = sub.add_parser("eval-multiflow")
     p.add_argument("--num-samples", type=int, default=4)

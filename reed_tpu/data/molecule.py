@@ -264,7 +264,8 @@ def edm_epoch_batches(data: Dict[str, np.ndarray], batch_size: int,
                       rng: np.random.Generator,
                       reps: Optional[np.ndarray] = None,
                       max_nodes: int = 29, num_atom_types: int = 5,
-                      include_charges: bool = True
+                      include_charges: bool = True,
+                      shuffle: bool = True
                       ) -> Iterator[Dict[str, np.ndarray]]:
     """One shuffled epoch of MoleculeEDMTrainer-schema batches from the EDM
     QM9 npz layout (positions/charges/num_atoms[, one_hot]) — the dense
@@ -278,7 +279,7 @@ def edm_epoch_batches(data: Dict[str, np.ndarray], batch_size: int,
     k = min(n, src_n)
     diag = np.eye(n, dtype=np.float32)[None, :, :, None]
 
-    order = rng.permutation(m)
+    order = rng.permutation(m) if shuffle else np.arange(m)
     for i in range(0, m - batch_size + 1, batch_size):
         idx = order[i:i + batch_size]
         node_mask = (np.arange(n)[None, :]

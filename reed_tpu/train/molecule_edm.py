@@ -23,6 +23,7 @@ from reed_tpu.core.ema import ema_init
 from reed_tpu.core.train_state import TrainState, make_optimizer
 from reed_tpu.core.trainer import jit_train_step, make_train_step
 from reed_tpu.diffusion.edm import EDMConfig, EnVariationalDiffusion
+from reed_tpu.diffusion.efm import EFMConfig, EquivariantCNF
 from reed_tpu.models.egnn import EGNNDynamics, remove_mean_with_mask
 from reed_tpu.parallel import mesh as meshlib
 
@@ -43,7 +44,11 @@ class MoleculeEDMConfig:
     rep_nf: Optional[int] = 256      # frozen-encoder rep dim (None = uncond)
     rep_dropout_prob: float = 0.1
     context_node_nf: int = 0         # property conditioning dim
+    # 'diffusion' (EnVariationalDiffusion) or 'fm' (equivariant CNF flow
+    # matching, reference configs/drug_efm_config.yaml probabilistic_model)
+    probabilistic_model: str = "diffusion"
     edm: EDMConfig = EDMConfig()
+    efm: EFMConfig = EFMConfig()
     augment_rotation: bool = False
     batch_size: int = 64
     optim: OptimConfig = OptimConfig(lr=1e-4, b2=0.999)
@@ -94,11 +99,19 @@ def build_edm(cfg: MoleculeEDMConfig, model: EGNNDynamics, params=None):
     return EnVariationalDiffusion(edm_cfg, dynamics_fn, dynamics_cfg_fn)
 
 
+def _efm_cfg(cfg: MoleculeEDMConfig) -> EFMConfig:
+    return EFMConfig(
+        **{**cfg.efm.__dict__,
+           "in_node_nf": cfg.num_atom_types + int(cfg.include_charges),
+           "include_charges": cfg.include_charges})
+
+
 def make_loss_fn(model: EGNNDynamics, cfg: MoleculeEDMConfig):
     edm_cfg = EDMConfig(
         **{**cfg.edm.__dict__,
            "in_node_nf": cfg.num_atom_types + int(cfg.include_charges),
            "include_charges": cfg.include_charges})
+    efm_cfg = _efm_cfg(cfg)
 
     def loss_fn(params, batch, rng, step):
         del step
@@ -110,14 +123,22 @@ def make_loss_fn(model: EGNNDynamics, cfg: MoleculeEDMConfig):
                                context=context, rep=rep, train=train,
                                rngs=rngs)
 
-        edm = EnVariationalDiffusion(edm_cfg, dynamics_fn)
         x = remove_mean_with_mask(batch["positions"], batch["node_mask"])
         if cfg.augment_rotation:
             x = random_rotation(rng_rot, x) * batch["node_mask"]
-        nll, _ = edm.loss(rng_loss, x, batch["one_hot"], batch["charges"],
-                          batch["node_mask"], batch["edge_mask"],
-                          context=batch.get("context"),
-                          rep=batch.get("rep"), train=True)
+        if cfg.probabilistic_model == "fm":
+            cnf = EquivariantCNF(efm_cfg, dynamics_fn)
+            nll, _ = cnf.loss(rng_loss, x, batch["one_hot"],
+                              batch["charges"], batch["node_mask"],
+                              batch["edge_mask"],
+                              context=batch.get("context"),
+                              rep=batch.get("rep"), train=True)
+        else:
+            edm = EnVariationalDiffusion(edm_cfg, dynamics_fn)
+            nll, _ = edm.loss(rng_loss, x, batch["one_hot"], batch["charges"],
+                              batch["node_mask"], batch["edge_mask"],
+                              context=batch.get("context"),
+                              rep=batch.get("rep"), train=True)
         return {"denoising_loss": nll.mean(), "proj_loss": jnp.zeros(())}
 
     return loss_fn
@@ -229,6 +250,8 @@ class MoleculeEDMTrainer:
                                 "in_node_nf": self.cfg.num_atom_types
                                 + int(self.cfg.include_charges),
                                 "include_charges": self.cfg.include_charges})
+        efm_cfg = _efm_cfg(self.cfg)
+        use_fm = self.cfg.probabilistic_model == "fm"
 
         # params threaded through jit (closure would bake them as constants)
         @jax.jit
@@ -236,6 +259,12 @@ class MoleculeEDMTrainer:
             def dynamics_fn(t, z, nm, em, ctx, r, drng, train):
                 return self.model.apply({"params": params}, t, z, nm, em,
                                         context=ctx, rep=r, train=False)
+
+            if use_fm:
+                cnf = EquivariantCNF(efm_cfg, dynamics_fn)
+                return cnf.sample(rng, node_mask.shape[0],
+                                  node_mask.shape[1], node_mask, edge_mask,
+                                  context=context, rep=rep)
 
             def dynamics_cfg_fn(t, z, nm, em, ctx, r):
                 return self.model.apply({"params": params}, t, z, nm, em,

@@ -91,9 +91,33 @@ def test_graph_stats_discriminate():
     stats_same = all_graph_stats([tri] * 4, [tri] * 4)
     stats_diff = all_graph_stats([tri] * 4, [path] * 4)
     for k in stats_same:
-        assert stats_same[k] == pytest.approx(0.0, abs=1e-9)
-        assert stats_diff[k] > stats_same[k] - 1e-12
+        if k.endswith("_mmd"):
+            assert stats_same[k] == pytest.approx(0.0, abs=1e-9), k
+            assert stats_diff[k] > stats_same[k] - 1e-12, k
     assert stats_diff["orbit_mmd"] > 0 or stats_diff["degree_mmd"] > 0
+    # both triangle and path graphs are connected
+    assert stats_same["connected_frac"] == 1.0
+    assert stats_diff["connected_frac"] == 1.0
+
+
+def test_spectral_and_nspdk_discriminate():
+    from reed_tpu.eval.graph_stats import (connected_fraction,
+                                           nspdk_stats, spectral_stats)
+
+    tri = (3, np.array([[0, 1], [1, 2], [0, 2]]))
+    path = (3, np.array([[0, 1], [1, 2]]))
+    assert spectral_stats([tri] * 4, [tri] * 4) == pytest.approx(0, abs=1e-9)
+    assert spectral_stats([tri] * 4, [path] * 4) > 1e-4
+    assert nspdk_stats([tri] * 4, [tri] * 4) == pytest.approx(0, abs=1e-9)
+    assert nspdk_stats([tri] * 4, [path] * 4) > 1e-4
+    # nspdk with node labels distinguishes label distributions too
+    same_graph_diff_labels = nspdk_stats(
+        [tri] * 4, [tri] * 4,
+        ref_labels=[[0, 0, 0]] * 4, pred_labels=[[1, 1, 1]] * 4)
+    assert same_graph_diff_labels > 1e-4
+    # disconnected graph detection
+    two_comp = (4, np.array([[0, 1], [2, 3]]))
+    assert connected_fraction([two_comp, tri]) == 0.5
 
 
 def test_clustering_coefficients():
