@@ -562,9 +562,19 @@ def eval_conditional(args):
 
     n = gen_cfg.max_nodes
     maes, all_targets = [], []
+    sweep_rows = None
     for rep_i in range(args.n_replicates):
-        sizes = node_dist.sample(np_rng, args.n_samples)
-        targets = prop_dist.sample(np_rng, sizes)         # label units
+        if args.sweep:
+            # fixed size, property linspace over the observed range
+            # (reference: qm9/sampling.py:186 sample_sweep_conditional +
+            # eval_src/process_sweep.py classifier readback)
+            size = int(np.median(sizes_src))
+            sizes = np.full(args.n_samples, size, np.int64)
+            lo, hi = float(values.min()), float(values.max())
+            targets = np.linspace(lo, hi, args.n_samples)
+        else:
+            sizes = node_dist.sample(np_rng, args.n_samples)
+            targets = prop_dist.sample(np_rng, sizes)     # label units
         norm_t = (targets - mean) / mad                   # context units
         node_mask = (np.arange(n)[None, :] < sizes[:, None]
                      ).astype(np.float32)[..., None]
@@ -589,6 +599,27 @@ def eval_conditional(args):
                                      - jnp.asarray(targets))))
         maes.append(mae)
         all_targets.append(targets)
+        if args.sweep and sweep_rows is None:
+            sweep_rows = [{"target": float(t), "pred": float(p)}
+                          for t, p in zip(targets, np.asarray(preds))]
+        if args.out and rep_i == 0:
+            # dump sampled molecules as xyz next to property values
+            # (reference: eval_src/eval_visualize_samples.py)
+            from reed_tpu.data.molecule import QM9_ATOM_DECODER
+            from reed_tpu.eval.visualize import save_xyz_file
+
+            os.makedirs(args.out, exist_ok=True)
+            types = np.argmax(np.asarray(h_cat), axis=-1)
+            nmask = np.asarray(node_mask)[..., 0].astype(bool)
+            for i in range(min(args.n_samples, 100)):
+                save_xyz_file(
+                    os.path.join(args.out, f"mol_{i:03d}.xyz"),
+                    np.asarray(x)[i][nmask[i]], types[i][nmask[i]],
+                    atom_decoder=QM9_ATOM_DECODER,
+                    comment=f"{args.property}={targets[i]:.4f}")
+            with open(os.path.join(args.out, "property_values.log"),
+                      "w") as f:
+                f.write("\n".join(f"{t:.6f}" for t in targets))
     out = {"property": args.property,
            "mae": float(np.mean(maes)),
            "mae_std": float(np.std(maes)),
@@ -597,6 +628,12 @@ def eval_conditional(args):
            "mad_of_targets": float(np.abs(
                np.concatenate(all_targets)
                - np.concatenate(all_targets).mean()).mean())}
+    if sweep_rows is not None:
+        out["sweep"] = sweep_rows
+        t = np.array([r["target"] for r in sweep_rows])
+        p = np.array([r["pred"] for r in sweep_rows])
+        if len(t) > 2 and t.std() > 0 and p.std() > 0:
+            out["sweep_pearson_r"] = float(np.corrcoef(t, p)[0, 1])
     print(json.dumps(out, indent=2))
 
 
@@ -935,6 +972,12 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=50)
     p.add_argument("--classifier-ckpt", default=None,
                    help="train-property checkpoint dir")
+    p.add_argument("--sweep", action="store_true",
+                   help="fixed-size property-linspace sweep (reference "
+                        "sample_sweep_conditional + process_sweep)")
+    p.add_argument("--out", default=None,
+                   help="xyz + property_values.log output dir (reference "
+                        "eval_visualize_samples.py)")
     _add_common(p)
     p.set_defaults(fn=eval_conditional)
 

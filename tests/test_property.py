@@ -115,3 +115,32 @@ def test_eval_conditional_cli(tmp_path, capsys):
     out = json.loads("\n".join(lines[start:]))
     assert out["property"] == "alpha"
     assert np.isfinite(out["mae"])
+
+
+def test_eval_conditional_sweep_cli(tmp_path, capsys):
+    data = _qm9_like()
+    np.savez(tmp_path / "train.npz", **data)
+    out_dir = str(tmp_path / "viz")
+    main(["eval-conditional", "--data-dir", str(tmp_path), "--sweep",
+          "--property", "alpha", "--n-samples", "4", "--n-replicates", "1",
+          "--num-steps", "5", "--out", out_dir,
+          "--set", "hidden_nf=16", "--set", "n_layers=1",
+          "--set", "max_nodes=8", "--set", "num_atom_types=4",
+          "--set", "rep_nf=null",
+          "--dp", "1", "--fsdp", "1", "--tp", "1"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    start = max(i for i, l in enumerate(lines) if l.startswith("{"))
+    out = json.loads("\n".join(lines[start:]))
+    targets = [r["target"] for r in out["sweep"]]
+    # linspace over the observed property range
+    assert targets == sorted(targets)
+    assert targets[0] == pytest.approx(float(data["alpha"].min()))
+    assert targets[-1] == pytest.approx(float(data["alpha"].max()))
+    # xyz dump + property log (reference eval_visualize_samples.py layout)
+    import os
+
+    xyzs = [f for f in os.listdir(out_dir) if f.endswith(".xyz")]
+    assert len(xyzs) == 4
+    vals = [float(v) for v in
+            open(f"{out_dir}/property_values.log").read().splitlines()]
+    assert vals == pytest.approx(targets, rel=1e-5)
