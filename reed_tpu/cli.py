@@ -726,7 +726,18 @@ def eval_molecule(args):
                                  "edm": {"timesteps": args.num_steps}})
     trainer = MoleculeEDMTrainer(cfg)
     state = trainer.init_state()
-    if args.ckpt_dir:
+    gamma_params = None
+    if args.ref_ckpt:
+        # reference torch checkpoint (generative_model[_ema].npy), converted
+        # on load; model flags must match via --set (hidden_nf, n_layers, …)
+        from reed_tpu.encoders.edm_convert import load_torch_edm_checkpoint
+
+        conv, gamma_params = load_torch_edm_checkpoint(args.ref_ckpt)
+        conv = jax.tree.map(jnp.asarray, conv)
+        state = state.replace(params=conv, ema_params=conv)
+        print(f"loaded reference torch checkpoint {args.ref_ckpt}"
+              + (" (learned gamma)" if gamma_params is not None else ""))
+    elif args.ckpt_dir:
         from reed_tpu.core.checkpoint import CheckpointManager
 
         state = CheckpointManager(args.ckpt_dir).restore(
@@ -756,7 +767,8 @@ def eval_molecule(args):
 
     def mol_sampler(rng, node_mask, edge_mask, rep):
         return trainer.sample(state.ema_params, rng, node_mask.shape[0],
-                              node_mask, edge_mask, rep=rep)
+                              node_mask, edge_mask, rep=rep,
+                              gamma_params=gamma_params)
 
     sampler = TwoStageSampler(rep_sampler, mol_sampler)
     metrics = MoleculeMetrics()
@@ -962,6 +974,9 @@ def main(argv=None):
     p = sub.add_parser("eval-molecule")
     p.add_argument("--n-replicates", type=int, default=3)
     p.add_argument("--num-steps", type=int, default=100)
+    p.add_argument("--ref-ckpt", default=None,
+                   help="reference torch EDM checkpoint "
+                        "(generative_model[_ema].npy), converted on load")
     _add_common(p)
     p.set_defaults(fn=eval_molecule)
 

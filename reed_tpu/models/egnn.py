@@ -144,7 +144,11 @@ class RepCrossAttention(nn.Module):
         ff_in = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(h)
         gate = nn.Dense(2 * 4 * d, dtype=self.dtype, name="ff_proj")(ff_in)
         a, g = jnp.split(gate, 2, axis=-1)
-        ff = nn.Dense(d, dtype=self.dtype, name="ff_out")(a * nn.gelu(g))
+        # exact (erf) GELU: the reference GEGLU uses F.gelu
+        # (models/attention.py:36-43) — keeps converted torch checkpoints
+        # numerically aligned
+        ff = nn.Dense(d, dtype=self.dtype, name="ff_out")(
+            a * nn.gelu(g, approximate=False))
         h = h + ff
         return h * node_mask
 

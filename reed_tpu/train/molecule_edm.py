@@ -244,7 +244,10 @@ class MoleculeEDMTrainer:
         return batch
 
     def sample(self, params, rng, n_samples, node_mask, edge_mask, rep=None,
-               cfg_scale=None, context=None):
+               cfg_scale=None, context=None, gamma_params=None):
+        """gamma_params: converted/trained GammaNetwork params for the
+        'learned' noise schedule (reference en_diffusion.py:208);
+        None = the configured table schedule."""
         cfg_copy = EDMConfig(**{**self.cfg.edm.__dict__,
                                 "cfg_scale": cfg_scale,
                                 "in_node_nf": self.cfg.num_atom_types
@@ -252,6 +255,13 @@ class MoleculeEDMTrainer:
                                 "include_charges": self.cfg.include_charges})
         efm_cfg = _efm_cfg(self.cfg)
         use_fm = self.cfg.probabilistic_model == "fm"
+        if gamma_params is not None:
+            from reed_tpu.diffusion.edm import GammaNetwork
+
+            def gamma_fn(t, _gp=gamma_params):
+                return GammaNetwork.apply(_gp, t)
+        else:
+            gamma_fn = None
 
         # params threaded through jit (closure would bake them as constants)
         @jax.jit
@@ -272,7 +282,7 @@ class MoleculeEDMTrainer:
                                         method=EGNNDynamics.forward_with_cfg)
 
             edm = EnVariationalDiffusion(cfg_copy, dynamics_fn,
-                                         dynamics_cfg_fn)
+                                         dynamics_cfg_fn, gamma_fn=gamma_fn)
             return edm.sample(rng, node_mask.shape[0], node_mask.shape[1],
                               node_mask, edge_mask, context=context, rep=rep)
 
