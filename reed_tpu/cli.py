@@ -652,7 +652,16 @@ def eval_protein(args):
                                         "num_timesteps": args.num_steps})})
     trainer = ProteinTrainer(cfg)
     state = trainer.init_state()
-    if args.ckpt_dir:
+    if args.ref_ckpt:
+        # reference torch fmif checkpoint (epoch_last.pt), converted on
+        # load; model flags must match via --set
+        from reed_tpu.encoders.fmif_convert import load_torch_fmif_checkpoint
+
+        conv = jax.tree.map(jnp.asarray,
+                            load_torch_fmif_checkpoint(args.ref_ckpt))
+        state = state.replace(params=conv, ema_params=conv)
+        print(f"loaded reference torch checkpoint {args.ref_ckpt}")
+    elif args.ckpt_dir:
         from reed_tpu.core.checkpoint import CheckpointManager
 
         state = CheckpointManager(args.ckpt_dir).restore(
@@ -968,6 +977,9 @@ def main(argv=None):
     p.add_argument("--length", type=int, default=64)
     p.add_argument("--max-chains", type=int, default=None,
                    help="cap on valid-split chains to score")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="reference torch fmif checkpoint (epoch_last.pt), "
+                        "converted on load")
     _add_common(p)
     p.set_defaults(fn=eval_protein)
 

@@ -128,7 +128,7 @@ class RepCrossAttention(nn.Module):
     def __call__(self, h, rep, node_mask):
         d = h.shape[-1]
         ctx = rep[:, None, :]  # [B, 1, R]
-        q_in = nn.LayerNorm(dtype=self.dtype, name="norm_attn")(h)
+        q_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_attn")(h)
         q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(q_in)
         k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
@@ -141,7 +141,7 @@ class RepCrossAttention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
         h = h + nn.Dense(d, dtype=self.dtype, name="to_out")(out)
-        ff_in = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(h)
+        ff_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_ff")(h)
         gate = nn.Dense(2 * 4 * d, dtype=self.dtype, name="ff_proj")(ff_in)
         a, g = jnp.split(gate, 2, axis=-1)
         # exact (erf) GELU: the reference GEGLU uses F.gelu

@@ -126,7 +126,7 @@ class ProteinFeatures(nn.Module):
         e = jnp.concatenate([e_pos, rbf_all.astype(self.dtype)], axis=-1)
         e = nn.Dense(self.edge_features, use_bias=False, dtype=self.dtype,
                      kernel_init=xavier_uniform, name="edge_embedding")(e)
-        e = nn.LayerNorm(dtype=self.dtype, name="norm_edges")(e)
+        e = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_edges")(e)
         return e, e_idx
 
 
@@ -154,10 +154,10 @@ class EncLayer(nn.Module):
         if mask_attend is not None:
             h_message = mask_attend[..., None] * h_message
         dh = jnp.sum(h_message, axis=-2) / self.scale
-        h_v = nn.LayerNorm(dtype=self.dtype, name="norm1")(h_v + drop(dh))
+        h_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h_v + drop(dh))
 
         dh = PositionWiseFeedForward(4 * d, dtype=self.dtype, name="dense")(h_v)
-        h_v = nn.LayerNorm(dtype=self.dtype, name="norm2")(h_v + drop(dh))
+        h_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h_v + drop(dh))
         if mask_v is not None:
             h_v = mask_v[..., None] * h_v
 
@@ -166,7 +166,7 @@ class EncLayer(nn.Module):
                                       h_ev.shape[:-1] + (d,))
         h_ev = jnp.concatenate([h_v_expand, h_ev], axis=-1)
         h_message = dense("W13")(_gelu(dense("W12")(_gelu(dense("W11")(h_ev)))))
-        h_e = nn.LayerNorm(dtype=self.dtype, name="norm3")(h_e + drop(h_message))
+        h_e = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(h_e + drop(h_message))
         return h_v, h_e
 
 
@@ -196,17 +196,17 @@ class DecLayer(nn.Module):
 
         # edge update: h_ES <- LN(h_ES + MLP([h_message, h_ES]))
         de_in = jnp.concatenate([h_message, h_es], axis=-1)
-        de = nn.LayerNorm(dtype=self.dtype, name="W_edge_norm")(de_in)
+        de = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="W_edge_norm")(de_in)
         de = dense(3 * d, "W_edge_fc1")(de)
         de = _gelu(de)
         de = dense(2 * d, "W_edge_fc2")(de)
-        h_es_new = nn.LayerNorm(dtype=self.dtype, name="norm_edge")(
+        h_es_new = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_edge")(
             h_es + drop(de))
 
         dh = jnp.sum(h_message, axis=-2) / self.scale
-        h_v = nn.LayerNorm(dtype=self.dtype, name="norm1")(h_v + drop(dh))
+        h_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h_v + drop(dh))
         dh = PositionWiseFeedForward(4 * d, dtype=self.dtype, name="dense")(h_v)
-        h_v = nn.LayerNorm(dtype=self.dtype, name="norm2")(h_v + drop(dh))
+        h_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h_v + drop(dh))
         if mask_v is not None:
             h_v = mask_v[..., None] * h_v
         return h_v, h_es_new
