@@ -463,8 +463,12 @@ def train_rdm(args):
 
 def train_property(args):
     """Train the EGNN property regressor on a QM9-layout npz with property
-    columns (reference: qm9/property_prediction/main_qm9_prop.py)."""
-    from reed_tpu.train.property import (PropertyTrainConfig, PropertyTrainer,
+    columns (reference: qm9/property_prediction/main_qm9_prop.py), or with
+    --linear-probe a linear head on frozen-encoder reps from reps.npy
+    (reference: main_qm9_prop_pretrainedEnc_linear.py)."""
+    from reed_tpu.train.property import (LinearProbeConfig,
+                                         LinearProbeTrainer,
+                                         PropertyTrainConfig, PropertyTrainer,
                                          compute_mean_mad,
                                          property_epoch_batches)
 
@@ -480,6 +484,41 @@ def train_property(args):
         mean, mad = compute_mean_mad(data[args.property])
         defaults = {"mean": mean, "mad": mad}
         print(f"property {args.property}: mean={mean:.4f} mad={mad:.4f}")
+
+    if args.linear_probe:
+        reps = None
+        if data is not None:
+            reps = np.load(os.path.join(args.data_dir, "reps.npy")
+                           ).astype(np.float32)
+            labels = np.asarray(data[args.property], np.float32)
+            assert len(reps) == len(labels), (reps.shape, labels.shape)
+            defaults["rep_dim"] = reps.shape[1]
+        cfg = _resolve_cfg(LinearProbeConfig, args,
+                           defaults={**defaults, "property": args.property})
+        trainer = LinearProbeTrainer(cfg)
+        state = trainer.init_state()
+
+        if reps is None:
+            def gen():
+                i = 0
+                while True:
+                    yield trainer.synthetic_batch(jax.random.PRNGKey(i))
+                    i += 1
+        else:
+            def gen():
+                epoch = 0
+                while True:
+                    rng = np.random.default_rng((args.seed or 0) + epoch)
+                    order = rng.permutation(len(reps))
+                    for i in range(0, len(order) - cfg.batch_size + 1,
+                                   cfg.batch_size):
+                        idx = order[i:i + cfg.batch_size]
+                        yield {"rep": reps[idx], "label": labels[idx]}
+                    epoch += 1
+
+        _run_loop(trainer, state, gen(), args, cfg.batch_size, cfg=cfg)
+        return
+
     cfg = _resolve_cfg(PropertyTrainConfig, args,
                        defaults={**defaults, "property": args.property})
     trainer = PropertyTrainer(cfg)
@@ -969,6 +1008,9 @@ def main(argv=None):
     p = sub.add_parser("train-property")
     p.add_argument("--property", default="alpha",
                    help="QM9 property column: alpha|gap|homo|lumo|mu|Cv|...")
+    p.add_argument("--linear-probe", action="store_true",
+                   help="linear head on frozen-encoder reps (reps.npy) "
+                        "instead of the EGNN regressor")
     _add_common(p)
     p.set_defaults(fn=train_property)
 

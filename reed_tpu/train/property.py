@@ -158,6 +158,88 @@ class PropertyTrainer:
         return pred
 
 
+@dataclass(frozen=True)
+class LinearProbeConfig:
+    """Frozen-encoder linear probe for property prediction (reference:
+    qm9/property_prediction/main_qm9_prop_pretrainedEnc_linear.py:132-171 —
+    Encoder_Linear: frozen Frad encoder + Linear(rep_dim, 1), L1 on the
+    mad-normalized label). Here the encoder forward is the precompute-to-
+    disk reps path (reps.npy), so the probe trains on rep vectors."""
+
+    property: str = "alpha"
+    rep_dim: int = 256
+    mean: float = 0.0
+    mad: float = 1.0
+    batch_size: int = 96
+    optim: OptimConfig = OptimConfig(lr=1e-3, weight_decay=1e-16,
+                                     schedule="cosine", warmup_steps=0,
+                                     total_steps=100_000)
+    mesh: MeshConfig = MeshConfig()
+    seed: int = 1
+
+
+class LinearProbeTrainer:
+    def __init__(self, cfg: LinearProbeConfig, mesh=None):
+        import flax.linen as nn
+
+        self.cfg = cfg
+        self.model = nn.Dense(1)
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh(
+            cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor)
+        self.optimizer = make_optimizer(cfg.optim)
+        self.init_rng, self.train_rng = jax.random.split(
+            jax.random.PRNGKey(cfg.seed))
+
+        def loss_fn(params, batch, rng, step):
+            del rng, step
+            pred = self.model.apply({"params": params}, batch["rep"])[..., 0]
+            target = (batch["label"] - cfg.mean) / cfg.mad
+            return {"denoising_loss": jnp.abs(pred - target).mean(),
+                    "proj_loss": jnp.zeros(())}
+
+        curriculum = CurriculumConfig(proj_coeff=0.0,
+                                      diffusion_warmup_steps=0,
+                                      max_steps=cfg.optim.total_steps)
+        step_fn = make_train_step(loss_fn, self.optimizer, curriculum,
+                                  accum_steps=cfg.optim.accum_steps)
+        rep = meshlib.replicated(self.mesh)
+        self.state_shardings = TrainState(step=rep, params=rep,
+                                          ema_params=rep, opt_state=rep)
+        bsh = meshlib.batch_sharding(self.mesh)
+        self.batch_sharding = {"rep": bsh, "label": bsh}
+        self.train_step = jit_train_step(step_fn, self.mesh,
+                                         self.state_shardings,
+                                         self.batch_sharding)
+
+    def _init_state(self, rng) -> TrainState:
+        params = self.model.init(rng, jnp.zeros((1, self.cfg.rep_dim))
+                                 )["params"]
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          ema_params=ema_init(params),
+                          opt_state=self.optimizer.init(params))
+
+    def init_state(self) -> TrainState:
+        with self.mesh:
+            return jax.jit(self._init_state,
+                           out_shardings=self.state_shardings)(self.init_rng)
+
+    def synthetic_batch(self, rng=None, batch_size=None):
+        cfg = self.cfg
+        bs = batch_size or cfg.batch_size
+        rng = rng if rng is not None else jax.random.PRNGKey(1)
+        r1, r2 = jax.random.split(rng)
+        rep = jax.random.normal(r1, (bs, cfg.rep_dim))
+        # label linearly related to the rep so the probe can fit it
+        w = jax.random.normal(r2, (cfg.rep_dim,)) / np.sqrt(cfg.rep_dim)
+        return {"rep": rep, "label": rep @ w}
+
+    def predict(self, params, rep, denormalize: bool = True):
+        pred = self.model.apply({"params": params}, jnp.asarray(rep))[..., 0]
+        if denormalize:
+            pred = pred * self.cfg.mad + self.cfg.mean
+        return pred
+
+
 def property_epoch_batches(data: Dict[str, np.ndarray], prop: str,
                            batch_size: int, rng: np.random.Generator,
                            max_nodes: int = 29, num_atom_types: int = 5

@@ -84,6 +84,43 @@ def test_property_predict_denormalizes():
                        atol=1e-5)
 
 
+def test_linear_probe_fits_linear_labels():
+    from reed_tpu.train.property import LinearProbeConfig, LinearProbeTrainer
+
+    from reed_tpu.core.config import OptimConfig
+
+    cfg = LinearProbeConfig(rep_dim=16, batch_size=32,
+                            optim=OptimConfig(lr=3e-2, schedule="constant"),
+                            mesh=MeshConfig(data=1))
+    trainer = LinearProbeTrainer(cfg)
+    state = trainer.init_state()
+    batch = trainer.synthetic_batch(jax.random.PRNGKey(0))
+    batch = jax.device_put(batch, trainer.batch_sharding)
+    losses = []
+    with trainer.mesh:
+        for i in range(100):
+            state, metrics = trainer.train_step(state, batch,
+                                                jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < 0.3 * losses[0], (losses[0], losses[-1])
+
+
+def test_train_property_linear_probe_cli(tmp_path):
+    data = _qm9_like()
+    np.savez(tmp_path / "train.npz", **data)
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "reps.npy",
+            rng.standard_normal((len(data["num_atoms"]), 12)
+                                ).astype(np.float32))
+    ckpt = str(tmp_path / "ckpt")
+    main(["train-property", "--linear-probe", "--data-dir", str(tmp_path),
+          "--property", "alpha", "--steps", "10", "--batch-size", "8",
+          "--log-every", "5", "--ckpt-dir", ckpt, "--ckpt-every", "5",
+          "--dp", "1", "--fsdp", "1", "--tp", "1"])
+    snap = json.load(open(f"{ckpt}/config.json"))
+    assert snap["rep_dim"] == 12  # inferred from reps.npy
+
+
 def test_train_property_cli_real_data(tmp_path):
     data = _qm9_like()
     np.savez(tmp_path / "train.npz", **data)
