@@ -642,10 +642,12 @@ def eval_conditional(args):
             sweep_rows = [{"target": float(t), "pred": float(p)}
                           for t, p in zip(targets, np.asarray(preds))]
         if args.out and rep_i == 0:
-            # dump sampled molecules as xyz next to property values
-            # (reference: eval_src/eval_visualize_samples.py)
+            # dump sampled molecules as xyz + 3D PNG renders next to
+            # property values (reference: eval_src/eval_visualize_samples.py
+            # + qm9/visualizer.py plot_data3d)
             from reed_tpu.data.molecule import QM9_ATOM_DECODER
-            from reed_tpu.eval.visualize import save_xyz_file
+            from reed_tpu.eval.visualize import (plot_molecule_3d,
+                                                 save_xyz_file)
 
             os.makedirs(args.out, exist_ok=True)
             types = np.argmax(np.asarray(h_cat), axis=-1)
@@ -656,6 +658,11 @@ def eval_conditional(args):
                     np.asarray(x)[i][nmask[i]], types[i][nmask[i]],
                     atom_decoder=QM9_ATOM_DECODER,
                     comment=f"{args.property}={targets[i]:.4f}")
+                plot_molecule_3d(
+                    os.path.join(args.out, f"mol_{i:03d}.png"),
+                    np.asarray(x)[i][nmask[i]], types[i][nmask[i]],
+                    atom_decoder=QM9_ATOM_DECODER,
+                    title=f"{args.property}={targets[i]:.3f}")
             with open(os.path.join(args.out, "property_values.log"),
                       "w") as f:
                 f.write("\n".join(f"{t:.6f}" for t in targets))
