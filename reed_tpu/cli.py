@@ -838,6 +838,25 @@ def eval_molecule(args):
     out = evaluate_replicates(sample_replicate, metrics,
                               n_replicates=args.n_replicates)
 
+    if args.out:
+        # dump one replicate as xyz + 3D PNG renders (reference:
+        # eval_src/{eval_visualize_samples,process_uncondition_random}.py)
+        from reed_tpu.data.molecule import QM9_ATOM_DECODER
+        from reed_tpu.eval.visualize import plot_molecule_3d, save_xyz_file
+
+        # GEOM-with-H decoder for >5 atom types (reference
+        # configs/datasets_config.py geom_with_h)
+        decoder = QM9_ATOM_DECODER if cfg.num_atom_types <= 5 else [
+            "H", "B", "C", "N", "O", "F", "Al", "Si", "P", "S", "Cl",
+            "As", "Br", "I", "Hg", "Bi"]
+        os.makedirs(args.out, exist_ok=True)
+        for i, (pos, types) in enumerate(sample_replicate(0)[:100]):
+            save_xyz_file(os.path.join(args.out, f"mol_{i:03d}.xyz"),
+                          pos, types, atom_decoder=decoder)
+            plot_molecule_3d(os.path.join(args.out, f"mol_{i:03d}.png"),
+                             pos, types, atom_decoder=decoder)
+        print(f"sample dumps -> {args.out}")
+
     # MOSES distribution block vs a held-out test set when available
     # (reference: eval_src/evaluation/molsets.py get_all_metrics)
     if args.data_dir:
@@ -1038,6 +1057,9 @@ def main(argv=None):
     p.add_argument("--ref-ckpt", default=None,
                    help="reference torch EDM checkpoint "
                         "(generative_model[_ema].npy), converted on load")
+    p.add_argument("--out", default=None,
+                   help="xyz + 3D PNG sample dumps (reference "
+                        "eval_visualize_samples.py)")
     _add_common(p)
     p.set_defaults(fn=eval_molecule)
 

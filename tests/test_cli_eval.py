@@ -65,7 +65,8 @@ def test_eval_molecule_reps_from_disk(tmp_path, capsys):
     np.save(tmp_path / "reps.npy",
             rng.standard_normal((32, 16)).astype(np.float32))
     np.save(tmp_path / "sizes.npy", rng.integers(4, 9, 32))
-    main(["eval-molecule", "--data-dir", str(tmp_path),
+    out_dir = str(tmp_path / "viz")
+    main(["eval-molecule", "--data-dir", str(tmp_path), "--out", out_dir,
           "--batch-size", "4", "--num-steps", "8", "--n-replicates", "1",
           "--set", "hidden_nf=16", "--set", "n_layers=1",
           "--set", "max_nodes=8", "--set", "rep_nf=16",
@@ -73,3 +74,9 @@ def test_eval_molecule_reps_from_disk(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "GtSampler over 32 dataset reps" in printed
     assert '"mean"' in printed
+    # xyz + PNG sample dumps (reference eval_visualize_samples.py)
+    import os
+
+    files = os.listdir(out_dir)
+    assert sum(f.endswith(".xyz") for f in files) == 4
+    assert sum(f.endswith(".png") for f in files) == 4
