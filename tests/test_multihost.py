@@ -35,7 +35,9 @@ def test_two_process_mesh_train_step():
             stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    # generous: two jax processes compile on one CPU core; under suite
+    # contention the solo ~7.5 min run can stretch well past 10
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
     losses = []
