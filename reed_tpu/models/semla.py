@@ -543,8 +543,13 @@ class SemlaGenerator(nn.Module):
         adj_matrix = adj_from_node_mask(atom_mask)
 
         n_atoms = jnp.sum(atom_mask, axis=-1).astype(jnp.int32)  # [B]
-        size_emb = nn.Embed(self.max_atoms, self.size_emb, dtype=self.dtype,
-                            name="size_emb")(n_atoms)[:, None, :]
+        # max_atoms + 1 entries: n_atoms is inclusive of max_atoms, and an
+        # out-of-range jnp.take fills NaN (the reference's Embedding(max_atoms)
+        # at semla.py:874 has the same off-by-one but real datasets never
+        # reach the cap)
+        size_emb = nn.Embed(self.max_atoms + 1, self.size_emb,
+                            dtype=self.dtype, name="size_emb")(
+            n_atoms)[:, None, :]
         size_emb = jnp.broadcast_to(size_emb, (b, n, self.size_emb))
 
         feats = [inv_feats.astype(self.dtype), size_emb]

@@ -198,3 +198,41 @@ def test_integrator_linear_strategy_moves_toward_prediction():
                           jnp.zeros((b,)), step_size=0.5)
     # mass on class 3 increased
     assert float(out["atomics"][..., 3].mean()) > 1.0 / v
+
+
+def test_full_size_molecule_no_nan():
+    """A molecule whose size equals max_atoms must not NaN: the size
+    embedding table is max_atoms+1 entries (out-of-range jnp.take fills
+    NaN; regression for the n_atoms == max_atoms edge)."""
+    import jax
+
+    from reed_tpu.core.config import MeshConfig
+    from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+    cfg = SemlaTrainConfig(max_atoms=8, batch_size=4, d_model=32,
+                           d_message=16, n_layers=1, n_coord_sets=4,
+                           d_message_hidden=16, d_edge=16, n_attn_heads=4,
+                           size_emb=8, d_rep=8, mesh=MeshConfig(data=1))
+    trainer = SemlaTrainer(cfg)
+    state = trainer.init_state()
+    batch = trainer.example_batch(4, max_n=8, seed=3)
+    # force every molecule to the full max_atoms size via all-ones masks
+    import numpy as np
+
+    def force_mask(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = force_mask(v)
+            elif k == "mask":
+                out[k] = np.ones_like(np.asarray(v))
+            else:
+                out[k] = v
+        return out
+
+    batch = force_mask(batch)
+    batch = jax.device_put(batch, trainer.batch_sharding)
+    with trainer.mesh:
+        state, metrics = trainer.train_step(state, batch,
+                                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"])), metrics

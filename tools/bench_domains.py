@@ -1,0 +1,125 @@
+"""Cross-domain train-step throughput on the current accelerator.
+
+Measures every reed_tpu trainer at (near-)reference-recipe model dims with
+synthetic batches and prints one line per domain. The image number is
+bench.py's headline; this tool adds the other five domains so regressions
+anywhere show up (reference recipes: protein/README.md:16-18 token budget
+20k, molecule/README.md:38-43 SemlaFlow d_model 384 / EDM hidden 256 x 9,
+multiflow configs/base.yaml IPA 256/128 x 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_steps(trainer, steps: int = 10, rng=None):
+    state = trainer.init_state()
+    batch = trainer.synthetic_batch(jax.random.PRNGKey(0))
+    batch = jax.device_put(batch, trainer.batch_sharding)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    with trainer.mesh:
+        state, m = trainer.train_step(state, batch, rng)
+        float(jax.device_get(m["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = trainer.train_step(state, batch, rng)
+        loss = float(jax.device_get(m["loss"]))
+        dt = time.perf_counter() - t0
+    assert jnp.isfinite(loss), loss
+    return dt / steps
+
+
+def bench_protein():
+    from reed_tpu.core.config import MeshConfig
+    from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
+
+    # reference token budget 20,000 / L=256 ~ 78 chains; bs 64 fits v5e
+    cfg = ProteinTrainConfig(batch_size=64, max_len=256,
+                             mesh=MeshConfig(data=1))
+    per_step = _time_steps(ProteinTrainer(cfg))
+    toks = cfg.batch_size * cfg.max_len
+    return {"domain": "protein-fmif", "unit": "tokens/sec",
+            "value": round(toks / per_step, 1),
+            "config": "hidden 128, 3+3 layers, k30, L256, bs64"}
+
+
+def bench_semla():
+    from reed_tpu.core.config import MeshConfig
+    from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+    # GEOM-Drugs scale: 72-atom molecules, batch_cost 4096 ~ bs 56.
+    # f32: the CoordNorm/gram-matrix path overflows in bf16 on synthetic
+    # (unit-variance) coords — reference trains fp32 by default too
+    # (semlaflow/train.py precision opt-in).
+    cfg = SemlaTrainConfig(max_atoms=72, batch_size=56, d_rep=512,
+                           mesh=MeshConfig(data=1))
+    trainer = SemlaTrainer(cfg)
+    trainer.synthetic_batch = lambda rng=None: trainer.example_batch(
+        cfg.batch_size, max_n=cfg.max_atoms)
+    per_step = _time_steps(trainer)
+    return {"domain": "molecule-semla", "unit": "molecules/sec",
+            "value": round(cfg.batch_size / per_step, 1),
+            "config": "d_model 384, 12 layers, 64 coord sets, 72 atoms, bs56"}
+
+
+def bench_edm():
+    from reed_tpu.core.config import MeshConfig
+    from reed_tpu.train.molecule_edm import (MoleculeEDMConfig,
+                                             MoleculeEDMTrainer)
+
+    cfg = MoleculeEDMConfig(batch_size=64, mesh=MeshConfig(data=1))
+    per_step = _time_steps(MoleculeEDMTrainer(cfg))
+    return {"domain": "molecule-edm", "unit": "molecules/sec",
+            "value": round(cfg.batch_size / per_step, 1),
+            "config": "hidden 256, 9 blocks, QM9 n<=29, bs64"}
+
+
+def bench_multiflow():
+    from reed_tpu.core.config import MeshConfig
+    from reed_tpu.train.multiflow import MultiflowTrainConfig, MultiflowTrainer
+
+    cfg = MultiflowTrainConfig(batch_size=8, max_len=128,
+                               mesh=MeshConfig(data=1))
+    per_step = _time_steps(MultiflowTrainer(cfg))
+    return {"domain": "multiflow-se3", "unit": "residues/sec",
+            "value": round(cfg.batch_size * cfg.max_len / per_step, 1),
+            "config": "IPA 256/128 x 6 blocks, L128, bs8"}
+
+
+def bench_rdm():
+    from reed_tpu.core.config import MeshConfig
+    from reed_tpu.train.rdm import RDMTrainConfig, RDMTrainer
+
+    cfg = RDMTrainConfig(batch_size=256, mesh=MeshConfig(data=1))
+    per_step = _time_steps(RDMTrainer(cfg))
+    return {"domain": "rdm", "unit": "reps/sec",
+            "value": round(cfg.batch_size / per_step, 1),
+            "config": "SimpleMLP 1536x18, bs256"}
+
+
+def main():
+    results = []
+    for fn in (bench_protein, bench_semla, bench_edm, bench_multiflow,
+               bench_rdm):
+        try:
+            r = fn()
+        except Exception as e:  # report, keep going
+            r = {"domain": fn.__name__, "error":
+                 f"{type(e).__name__}: {str(e)[:120]}"}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
