@@ -242,3 +242,44 @@ def test_trainer_fm_sample():
     x2, _, _ = trainer.sample(state.params, jax.random.PRNGKey(1), 4,
                               b["node_mask"], b["edge_mask"])
     assert np.allclose(np.asarray(x), np.asarray(x2))
+
+
+def test_decode_equivariance_with_egnn_dynamics():
+    """EFM decoding with the EGNN field is E(3)-equivariant: rotating the
+    initial coords rotates the decoded coords, features unchanged."""
+    import numpy as np
+
+    from reed_tpu.models.egnn import EGNNDynamics
+
+    model = EGNNDynamics(in_node_nf=5, hidden_nf=16, n_layers=1,
+                         inv_sublayers=1, attention=True, tanh=True,
+                         rep_nf=None, rep_dropout_prob=0.0)
+    nm, em = _mask(b=2, n=6, real=5)
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (2, 6, 8)) * nm
+    zx = z[:, :, :3]
+    zx = zx - (zx * nm).sum(1, keepdims=True) / nm.sum(1, keepdims=True)
+    z = jnp.concatenate([zx * nm, z[:, :, 3:]], axis=-1)
+    params = model.init({"params": rng}, jnp.zeros((2,)), z, nm, em,
+                        train=False)["params"]
+
+    def dyn(t, zz, nmm, emm, ctx, rep, rngg, train):
+        return model.apply({"params": params}, t, zz, nmm, emm, train=False)
+
+    cfg = EFMConfig(in_node_nf=5, ode_steps=5)
+    cnf = EquivariantCNF(cfg, dyn)
+
+    theta = 0.7
+    rot = jnp.array([[np.cos(theta), -np.sin(theta), 0],
+                     [np.sin(theta), np.cos(theta), 0],
+                     [0, 0, 1.0]])
+    out = cnf.decode(z, nm, em)
+    z_rot = jnp.concatenate([jnp.einsum("ij,bnj->bni", rot, z[:, :, :3]),
+                             z[:, :, 3:]], axis=-1) * nm
+    out_rot = cnf.decode(z_rot, nm, em)
+    np.testing.assert_allclose(
+        np.asarray(out_rot[:, :, :3]),
+        np.asarray(jnp.einsum("ij,bnj->bni", rot, out[:, :, :3]) * nm),
+        atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_rot[:, :, 3:]),
+                               np.asarray(out[:, :, 3:]), atol=1e-4)
