@@ -112,3 +112,91 @@ def test_in_loop_encode_features(tmp_path):
     # second call reuses the cached jitted forward
     (z2,) = encode_features(encoders, pixels)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z2), rtol=1e-6)
+
+
+def test_torch_checkpoint_to_train_step_end_to_end(tmp_path):
+    """The full zero-egress encoder story: a torch DINOv2-format checkpoint
+    FILE -> convert_torch_checkpoint -> load_encoders -> in-loop
+    FrozenEncoder.encode on raw pixels -> features consumed as alignment
+    targets by a jitted image train step (closes the converters-only gap:
+    reference computes features per batch at image/train.py:348-360)."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from reed_tpu.encoders.registry import convert_torch_checkpoint
+
+    D, DEPTH, P, IMG = 384, 12, 14, 224
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape, scale=0.02):
+        return torch.randn(*shape, generator=g) * scale
+
+    sd = {
+        "patch_embed.proj.weight": t(D, 3, P, P),
+        "patch_embed.proj.bias": t(D),
+        "cls_token": t(1, 1, D),
+        "pos_embed": t(1, 1 + (IMG // P) ** 2, D),
+        "norm.weight": torch.ones(D), "norm.bias": torch.zeros(D),
+    }
+    for i in range(DEPTH):
+        p = f"blocks.{i}"
+        sd.update({
+            f"{p}.norm1.weight": torch.ones(D),
+            f"{p}.norm1.bias": torch.zeros(D),
+            f"{p}.attn.qkv.weight": t(3 * D, D),
+            f"{p}.attn.qkv.bias": t(3 * D),
+            f"{p}.attn.proj.weight": t(D, D),
+            f"{p}.attn.proj.bias": t(D),
+            f"{p}.norm2.weight": torch.ones(D),
+            f"{p}.norm2.bias": torch.zeros(D),
+            f"{p}.mlp.fc1.weight": t(4 * D, D),
+            f"{p}.mlp.fc1.bias": t(4 * D),
+            f"{p}.mlp.fc2.weight": t(D, 4 * D),
+            f"{p}.mlp.fc2.bias": t(D),
+            f"{p}.ls1.gamma": torch.ones(D) * 1e-5,
+            f"{p}.ls2.gamma": torch.ones(D) * 1e-5,
+        })
+    torch_path = str(tmp_path / "dinov2_vits14.pth")
+    torch.save(sd, torch_path)
+
+    convert_torch_checkpoint(torch_path, str(tmp_path / "dinov2-vit-s.npz"),
+                             family="dinov2", size="s")
+    encoders, enc_types, _ = load_encoders("dinov2-vit-s",
+                                           encoder_dir=str(tmp_path))
+    assert enc_types == ["dinov2"]
+    assert encoders[0].params is not None  # weights actually loaded
+
+    rng = np.random.default_rng(0)
+    pixels = rng.integers(0, 256, (2, 256, 256, 3)).astype(np.uint8)
+    from reed_tpu.encoders.registry import encode_features
+
+    (z,) = encode_features(encoders, pixels)
+    assert z.shape == (2, 256, 384)
+    assert np.isfinite(np.asarray(z)).all()
+
+    # pool the 16x16 patch grid down to the tiny SiT's 2x2 tokens and run
+    # one REED train step with the real converted-encoder features as zs
+    zt = np.asarray(z).reshape(2, 2, 8, 2, 8, 384).mean(axis=(2, 4))
+    zt = zt.reshape(2, 4, 384)
+
+    from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
+    from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
+    from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
+
+    cfg = ImageTrainConfig(
+        model="SiT-S/4", input_size=8, num_classes=4, encoder_depth=2,
+        z_dims=(384,), z_types=("i",), projector_dim=64, batch_size=2,
+        loss=FlowMatchingLossConfig(enc_names=("dinov2",),
+                                    loss_weights=(1.0,)),
+        optim=OptimConfig(lr=1e-3), curriculum=CurriculumConfig(max_steps=4),
+        mesh=MeshConfig(data=1))
+    trainer = ImageTrainer(cfg)
+    state = trainer.init_state()
+    batch = trainer.synthetic_batch(jax.random.PRNGKey(0))
+    batch["zs"] = [zt]
+    batch = jax.device_put(batch, trainer.batch_sharding)
+    with trainer.mesh:
+        state, metrics = trainer.train_step(state, batch,
+                                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["proj_loss"]) != 0.0  # alignment actually engaged
