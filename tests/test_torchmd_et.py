@@ -81,3 +81,68 @@ def test_frad_global_rep():
     perm = np.array([3, 1, 0, 2, 5, 4, 6])
     rep_p = enc.apply(variables, z[:, perm], pos[:, perm], mask[:, perm])
     assert np.allclose(np.asarray(rep), np.asarray(rep_p), atol=1e-4)
+
+
+def test_torch_checkpoint_file_conversion(tmp_path):
+    """Frad-style torch checkpoint file ('representation_model.' prefixes,
+    reference torchmdnet/models/model.py load_model) -> strip -> convert ->
+    forward runs with the loaded weights."""
+    torch = pytest.importorskip("torch")
+
+    from reed_tpu.encoders.torchmd_et import TorchMDET, convert_torchmd_et
+
+    H, R, L, MAXZ = 32, 16, 2, 20
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    sd = {
+        "embedding.weight": t(MAXZ, H),
+        "distance_expansion.means": t(R),
+        "distance_expansion.betas": torch.abs(t(R)) + 0.1,
+        "out_norm.weight": torch.ones(H), "out_norm.bias": torch.zeros(H),
+        "neighbor_embedding.embedding.weight": t(MAXZ, H),
+        "neighbor_embedding.distance_proj.weight": t(H, R),
+        "neighbor_embedding.distance_proj.bias": t(H),
+        "neighbor_embedding.combine.weight": t(H, 2 * H),
+        "neighbor_embedding.combine.bias": t(H),
+    }
+    for i in range(L):
+        p = f"attention_layers.{i}"
+        sd.update({
+            f"{p}.layernorm.weight": torch.ones(H),
+            f"{p}.layernorm.bias": torch.zeros(H),
+            f"{p}.q_proj.weight": t(H, H), f"{p}.q_proj.bias": t(H),
+            f"{p}.k_proj.weight": t(H, H), f"{p}.k_proj.bias": t(H),
+            f"{p}.v_proj.weight": t(3 * H, H), f"{p}.v_proj.bias": t(3 * H),
+            f"{p}.o_proj.weight": t(3 * H, H), f"{p}.o_proj.bias": t(3 * H),
+            f"{p}.vec_proj.weight": t(3 * H, H),
+            f"{p}.dk_proj.weight": t(H, R), f"{p}.dk_proj.bias": t(H),
+            f"{p}.dv_proj.weight": t(3 * H, R), f"{p}.dv_proj.bias": t(3 * H),
+        })
+    ckpt_path = str(tmp_path / "frad_qm9.ckpt")
+    torch.save({"state_dict": {f"representation_model.{k}": v
+                               for k, v in sd.items()}}, ckpt_path)
+
+    loaded = torch.load(ckpt_path, map_location="cpu",
+                        weights_only=True)["state_dict"]
+    stripped = {k[len("representation_model."):]: v.numpy()
+                for k, v in loaded.items()
+                if k.startswith("representation_model.")}
+    variables = convert_torchmd_et(stripped, num_layers=L)
+
+    model = TorchMDET(hidden=H, num_rbf=R, num_layers=L, max_z=MAXZ,
+                      num_heads=4)
+    rng = np.random.default_rng(0)
+    z = rng.integers(1, MAXZ, (2, 6))
+    pos = rng.standard_normal((2, 6, 3)).astype(np.float32)
+    mask = np.ones((2, 6), np.float32)
+    mask[1, 4:] = 0
+    x, vec = model.apply(variables, jnp.asarray(z), jnp.asarray(pos),
+                         jnp.asarray(mask))
+    assert x.shape == (2, 6, H)
+    assert np.isfinite(np.asarray(x)).all()
+    # converted embedding actually used: row for z=3 equals the torch row
+    emb = variables["params"]["embedding"]["embedding"]
+    np.testing.assert_allclose(np.asarray(emb[3]), sd["embedding.weight"][3])
