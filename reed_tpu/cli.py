@@ -173,9 +173,24 @@ def _load_reps(data_dir: str, d_rep, n: int):
 def train_image(args):
     from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
 
-    cfg = _resolve_cfg(ImageTrainConfig, args)
+    defaults = {"exact_gelu": True} if getattr(args, "ref_ckpt", None) \
+        else {}
+    cfg = _resolve_cfg(ImageTrainConfig, args, defaults=defaults)
     trainer = ImageTrainer(cfg)
     state = trainer.init_state()
+    if getattr(args, "ref_ckpt", None):
+        # warm-start training from a converted reference torch checkpoint
+        # (migration path; reference resumes its own ckpts at
+        # image/train.py:282-291)
+        from reed_tpu.encoders.sit_convert import load_reference_checkpoint
+
+        variables = load_reference_checkpoint(
+            args.ref_ckpt, depth=trainer.model.depth,
+            num_projectors=len(cfg.z_dims))
+        params = jax.tree.map(jnp.asarray, variables["params"])
+        state = state.replace(
+            params=params, ema_params=jax.tree.map(jnp.copy, params))
+        print(f"warm-started from reference checkpoint {args.ref_ckpt}")
     if args.synthetic or not args.data_dir:
         def gen():
             i = 0
@@ -264,6 +279,16 @@ def train_protein(args):
     cfg = _resolve_cfg(ProteinTrainConfig, args)
     trainer = ProteinTrainer(cfg)
     state = trainer.init_state()
+    if getattr(args, "ref_ckpt", None):
+        # warm-start from a converted reference fmif checkpoint (migration
+        # path; reference --previous_checkpoint, train_fmif.py:225-237)
+        from reed_tpu.encoders.fmif_convert import load_torch_fmif_checkpoint
+
+        conv = jax.tree.map(jnp.asarray,
+                            load_torch_fmif_checkpoint(args.ref_ckpt))
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
+        print(f"warm-started from reference checkpoint {args.ref_ckpt}")
 
     if args.synthetic or not args.data_dir:
         def gen():
@@ -314,6 +339,16 @@ def train_molecule_edm(args):
     cfg = _resolve_cfg(MoleculeEDMConfig, args)
     trainer = MoleculeEDMTrainer(cfg)
     state = trainer.init_state()
+    if getattr(args, "ref_ckpt", None):
+        # warm-start from a converted reference EDM checkpoint (migration
+        # path; reference Hydra resume, self_condition_train_qm9.py:78-101)
+        from reed_tpu.encoders.edm_convert import load_torch_edm_checkpoint
+
+        conv, _gamma = load_torch_edm_checkpoint(args.ref_ckpt)
+        conv = jax.tree.map(jnp.asarray, conv)
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
+        print(f"warm-started from reference checkpoint {args.ref_ckpt}")
 
     if args.synthetic or not args.data_dir:
         def gen():
@@ -705,7 +740,8 @@ def eval_protein(args):
 
         conv = jax.tree.map(jnp.asarray,
                             load_torch_fmif_checkpoint(args.ref_ckpt))
-        state = state.replace(params=conv, ema_params=conv)
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
         print(f"loaded reference torch checkpoint {args.ref_ckpt}")
     elif args.ckpt_dir:
         from reed_tpu.core.checkpoint import CheckpointManager
@@ -789,7 +825,8 @@ def eval_molecule(args):
 
         conv, gamma_params = load_torch_edm_checkpoint(args.ref_ckpt)
         conv = jax.tree.map(jnp.asarray, conv)
-        state = state.replace(params=conv, ema_params=conv)
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
         print(f"loaded reference torch checkpoint {args.ref_ckpt}"
               + (" (learned gamma)" if gamma_params is not None else ""))
     elif args.ckpt_dir:
@@ -950,7 +987,8 @@ def generate_image(args):
             args.ref_ckpt, depth=trainer.model.depth,
             num_projectors=len(tcfg.z_dims))
         params = variables["params"]
-        state = state.replace(params=params, ema_params=params)
+        state = state.replace(
+            params=params, ema_params=jax.tree.map(jnp.copy, params))
         print(f"loaded reference checkpoint {args.ref_ckpt} "
               f"(exact_gelu={tcfg.exact_gelu})")
     elif args.ckpt_dir:
@@ -1000,16 +1038,23 @@ def main(argv=None):
                    help="dir of converted encoder npz weights")
     p.add_argument("--pixels-subdir", default="pixels",
                    help="dataset subdir of raw uint8 crops")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="warm-start from a reference torch SiT checkpoint "
+                        "(forces exact_gelu)")
     _add_common(p)
     p.set_defaults(fn=train_image)
 
     p = sub.add_parser("train-protein")
     p.add_argument("--token-budget", type=int, default=20_000,
                    help="tokens per batch (reference batch_size=20000)")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="warm-start from a reference torch fmif checkpoint")
     _add_common(p)
     p.set_defaults(fn=train_protein)
 
     p = sub.add_parser("train-molecule-edm")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="warm-start from a reference torch EDM checkpoint")
     _add_common(p)
     p.set_defaults(fn=train_molecule_edm)
 

@@ -284,3 +284,25 @@ def test_gamma_network_conversion_parity():
 
     got = GammaNetwork.apply(gamma, jnp.linspace(0, 1, 11))
     np.testing.assert_allclose(np.asarray(got), ref_gamma, atol=1e-5)
+
+
+def test_train_edm_warm_start_from_ref_ckpt(tmp_path, capsys):
+    """train-molecule-edm --ref-ckpt warm-starts training from a converted
+    reference checkpoint."""
+    from reed_tpu.cli import main
+
+    torch.manual_seed(6)
+    tmodel = TorchMiniDynamics().eval()
+    path = str(tmp_path / "generative_model.npy")
+    torch.save({f"dynamics.{k}": v for k, v in tmodel.state_dict().items()},
+               path)
+    main(["train-molecule-edm", "--ref-ckpt", path, "--synthetic",
+          "--steps", "6", "--batch-size", "4", "--log-every", "3",
+          "--set", "hidden_nf=16", "--set", "n_layers=2",
+          "--set", "inv_sublayers=2", "--set", "num_atom_types=4",
+          "--set", "max_nodes=8", "--set", "rep_nf=8",
+          "--set", "normalization_factor=100.0",
+          "--dp", "1", "--fsdp", "1", "--tp", "1"])
+    out = capsys.readouterr().out
+    assert "warm-started from reference checkpoint" in out
+    assert "[step 6]" in out

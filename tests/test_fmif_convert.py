@@ -284,3 +284,24 @@ def test_fmif_conversion_cls_layers():
     params = convert_torch_fmif(sd)
     assert params["cls_embedder"]["embedding"].shape == (3, H)
     assert params["cls_layers_dec_1"]["kernel"].shape == (H, H)
+
+
+def test_train_protein_warm_start_from_ref_ckpt(tmp_path, capsys):
+    """train-protein --ref-ckpt warm-starts and keeps training (loss
+    finite across steps; migration from the reference's torch ckpts)."""
+    from reed_tpu.cli import main
+
+    torch.manual_seed(5)
+    tmodel = TorchMiniFMIF().eval()
+    path = str(tmp_path / "epoch_last.pt")
+    torch.save({"model_state_dict": tmodel.state_dict()}, path)
+    main(["train-protein", "--ref-ckpt", path, "--synthetic",
+          "--steps", "6", "--batch-size", "2", "--log-every", "3",
+          "--set", "hidden_dim=16", "--set", "num_encoder_layers=2",
+          "--set", "num_decoder_layers=2", "--set", "k_neighbors=5",
+          "--set", "single_dim=12", "--set", "pair_dim=8",
+          "--set", "structure_dim=10", "--set", "max_len=16",
+          "--dp", "1", "--fsdp", "1", "--tp", "1"])
+    out = capsys.readouterr().out
+    assert "warm-started from reference checkpoint" in out
+    assert "[step 6]" in out
