@@ -20,8 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_mesh_train_step():
+def _launch_two_procs():
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # each process sets its own device count
@@ -38,6 +37,16 @@ def test_two_process_mesh_train_step():
     # generous: two jax processes compile on one CPU core; under suite
     # contention the solo ~7.5 min run can stretch well past 10
     outs = [p.communicate(timeout=1500)[0] for p in procs]
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_mesh_train_step():
+    # one retry with a fresh port: the distributed handshake is sensitive
+    # to single-core starvation when the rest of the suite just ran
+    procs, outs = _launch_two_procs()
+    if any(p.returncode != 0 for p in procs):
+        procs, outs = _launch_two_procs()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
     losses = []

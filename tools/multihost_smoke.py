@@ -28,8 +28,11 @@ def main(proc_id: int, num_procs: int, port: str,
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # generous init timeout: on a contended single core the second process
+    # can take minutes to reach the coordinator handshake
     jax.distributed.initialize(f"localhost:{port}", num_processes=num_procs,
-                               process_id=proc_id)
+                               process_id=proc_id,
+                               initialization_timeout=1200)
     assert jax.process_count() == num_procs
     assert jax.local_device_count() == local_devices
     n_global = jax.device_count()
