@@ -853,7 +853,38 @@ def eval_molecule(args):
         reps = np_rng.standard_normal((256, cfg.rep_nf)).astype(np.float32)
         sizes = np_rng.integers(cfg.max_nodes // 2, cfg.max_nodes + 1, 256)
     sizes = np.minimum(sizes.astype(np.int64), cfg.max_nodes)
-    rep_sampler = GtSampler(reps, sizes)
+    if args.rdm_ref_ckpt:
+        # two-stage eval with a converted reference RDM as the rep sampler
+        # (reference: eval_src/eval_analyze.py DDIMSampler path)
+        from reed_tpu.diffusion.rdm import RDMConfig, RDMDiffusion
+        from reed_tpu.encoders.rdm_convert import load_torch_rdm_checkpoint
+        from reed_tpu.eval.rep_samplers import DDIMRepSampler
+        from reed_tpu.models.rdm_mlp import SimpleMLP
+
+        rdm_params = jax.tree.map(jnp.asarray, load_torch_rdm_checkpoint(
+            args.rdm_ref_ckpt, num_classes=cfg.max_nodes + 1))
+        mc = rdm_params["input_proj"]["kernel"].shape[1]
+        rdm_model = SimpleMLP(
+            in_channels=cfg.rep_nf, out_channels=cfg.rep_nf,
+            model_channels=mc,
+            bottleneck_channels=rdm_params["res_0"]["in_fc"]["kernel"
+                                                            ].shape[1],
+            time_embed_dim=rdm_params["time_fc1"]["kernel"].shape[1],
+            num_res_blocks=sum(1 for k in rdm_params
+                               if k.startswith("res_")),
+            num_classes=cfg.max_nodes,
+            context_channels=rdm_params.get(
+                "class_embedder", {"embedding": np.zeros((1, cfg.rep_nf))}
+            )["embedding"].shape[1])
+
+        def rdm_fn(x_t, t, n_nodes):
+            return rdm_model.apply({"params": rdm_params}, x_t, t, n_nodes)
+
+        rep_sampler = DDIMRepSampler(
+            RDMDiffusion(RDMConfig(channels=cfg.rep_nf), rdm_fn))
+        print(f"DDIM rep sampler from converted RDM {args.rdm_ref_ckpt}")
+    else:
+        rep_sampler = GtSampler(reps, sizes)
     node_dist = DistributionNodes(
         {int(s): float((sizes == s).sum()) for s in np.unique(sizes)})
 
@@ -1102,6 +1133,9 @@ def main(argv=None):
     p.add_argument("--ref-ckpt", default=None,
                    help="reference torch EDM checkpoint "
                         "(generative_model[_ema].npy), converted on load")
+    p.add_argument("--rdm-ref-ckpt", default=None,
+                   help="reference torch RDM checkpoint -> DDIM rep "
+                        "sampler (two-stage eval) instead of GtSampler")
     p.add_argument("--out", default=None,
                    help="xyz + 3D PNG sample dumps (reference "
                         "eval_visualize_samples.py)")

@@ -28,7 +28,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, context=None, deterministic: bool = True):
         c = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="in_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="in_norm")(x)
         h = nn.silu(h)
         h = nn.Dense(self.mid_channels, dtype=self.dtype, name="in_fc")(h)
         emb_out = nn.Dense(self.mid_channels, dtype=self.dtype,
@@ -39,7 +39,7 @@ class ResBlock(nn.Module):
             h = h + emb_out + ctx_out
         else:
             h = h + emb_out
-        h = nn.LayerNorm(dtype=self.dtype, name="out_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
