@@ -626,6 +626,16 @@ def eval_conditional(args):
         property=args.property, mean=mean, mad=mad,
         num_atom_types=gen_cfg.num_atom_types, max_nodes=gen_cfg.max_nodes,
         mesh=gen_cfg.mesh)
+    if args.classifier_ckpt:
+        # model dims + normalizer come from the training run's own config
+        # snapshot (written by train-property next to the checkpoints)
+        snap_path = os.path.join(args.classifier_ckpt, "config.json")
+        if os.path.exists(snap_path):
+            from reed_tpu.core import configlib
+
+            snap = configlib.load_file(snap_path)
+            snap["mesh"] = gen_cfg.mesh.__dict__
+            clf_cfg = configlib.merge(clf_cfg, snap)
     clf = PropertyTrainer(clf_cfg)
     clf_state = clf.init_state()
     if args.classifier_ckpt:

@@ -181,3 +181,27 @@ def test_eval_conditional_sweep_cli(tmp_path, capsys):
     vals = [float(v) for v in
             open(f"{out_dir}/property_values.log").read().splitlines()]
     assert vals == pytest.approx(targets, rel=1e-5)
+
+
+def test_conditional_eval_restores_trained_classifier(tmp_path, capsys):
+    """The documented recipe loop: train-property --ckpt-dir, then
+    eval-conditional --classifier-ckpt restores that classifier."""
+    data = _qm9_like()
+    np.savez(tmp_path / "train.npz", **data)
+    clf_ckpt = str(tmp_path / "clf")
+    common = ["--set", "hidden_nf=16", "--set", "n_layers=1",
+              "--set", "max_nodes=8", "--set", "num_atom_types=4",
+              "--dp", "1", "--fsdp", "1", "--tp", "1"]
+    main(["train-property", "--data-dir", str(tmp_path),
+          "--property", "alpha", "--steps", "10", "--batch-size", "8",
+          "--log-every", "5", "--ckpt-dir", clf_ckpt, "--ckpt-every", "5"]
+         + common)
+    capsys.readouterr()
+    main(["eval-conditional", "--data-dir", str(tmp_path),
+          "--property", "alpha", "--n-samples", "4", "--n-replicates", "1",
+          "--num-steps", "5", "--classifier-ckpt", clf_ckpt,
+          "--set", "rep_nf=null"] + common)
+    lines = capsys.readouterr().out.strip().splitlines()
+    start = max(i for i, l in enumerate(lines) if l.startswith("{"))
+    out = json.loads("\n".join(lines[start:]))
+    assert np.isfinite(out["mae"])
