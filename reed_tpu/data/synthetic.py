@@ -1,0 +1,188 @@
+"""Learnable synthetic distributions for convergence acceptance runs.
+
+The reference's quality control is metrics-as-acceptance: every training
+loop periodically *generates and scores* (SURVEY.md §4.3;
+molecule/semlaflow/flowmodels/fm.py:677-693,
+protein/fmif/train_fmif.py:464-540, image/train.py:431-454). The datasets
+here make that check runnable without external data: each one is a small
+distribution a correct model must learn to near-perfection in a few
+thousand steps, scored with the same metrics the real pipelines use.
+
+* Molecules: rigid QM9-chemistry templates (CH4 / NH3 / H2O / HF) with
+  textbook bond geometry, random rotations, zero CoM. A trained generator
+  must place atoms within the bond-order distance windows of
+  `eval/molecule_metrics.py` (atom/molecule stability, validity) — an
+  untrained one scores ~0.
+* Proteins: backbones whose O-atom offset deterministically encodes the
+  residue identity (distance code within the 2-22 A RBF window of
+  `ops/graph.rbf`). A trained inverse-folding model must read the code
+  back out (sequence recovery -> 1); an untrained one scores ~1/20.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Rigid molecule templates (QM9 atom set: H,C,N,O,F). Geometry from standard
+# experimental bond lengths/angles; every atom sits at its exact allowed
+# valence under eval/molecule_metrics.get_bond_order.
+# --------------------------------------------------------------------------
+
+_T = 1.09 / np.sqrt(3.0)  # methane C-H tetrahedral component
+
+# NH3: N-H 1.01 A, H-N-H 107 deg -> polar angle alpha with
+# cos(theta_HH) = 1 - 1.5 sin^2(alpha)
+_NH3_SIN = np.sqrt((1.0 - np.cos(np.deg2rad(107.0))) / 1.5)
+_NH3_COS = np.sqrt(1.0 - _NH3_SIN ** 2)
+_H2O_ANG = np.deg2rad(104.5 / 2.0)
+
+# atom type indices into QM9_ATOM_DECODER = [H, C, N, O, F]
+MOLECULE_TEMPLATES: List[Dict] = [
+    {
+        "name": "CH4",
+        "types": np.array([1, 0, 0, 0, 0]),          # C H H H H
+        "charges": np.array([6, 1, 1, 1, 1], np.float32),
+        "coords": np.array([
+            [0.0, 0.0, 0.0],
+            [_T, _T, _T],
+            [_T, -_T, -_T],
+            [-_T, _T, -_T],
+            [-_T, -_T, _T],
+        ], np.float32),
+        # all-order-1 bond graph (heavy atom first)
+        "bonds": [(0, 1, 1), (0, 2, 1), (0, 3, 1), (0, 4, 1)],
+    },
+    {
+        "name": "NH3",
+        "types": np.array([2, 0, 0, 0]),             # N H H H
+        "charges": np.array([7, 1, 1, 1], np.float32),
+        "coords": np.array(
+            [[0.0, 0.0, 0.0]]
+            + [[1.01 * _NH3_SIN * np.cos(p), 1.01 * _NH3_SIN * np.sin(p),
+                -1.01 * _NH3_COS]
+               for p in (0.0, 2 * np.pi / 3, 4 * np.pi / 3)],
+            np.float32),
+        "bonds": [(0, 1, 1), (0, 2, 1), (0, 3, 1)],
+    },
+    {
+        "name": "H2O",
+        "types": np.array([3, 0, 0]),                # O H H
+        "charges": np.array([8, 1, 1], np.float32),
+        "coords": np.array([
+            [0.0, 0.0, 0.0],
+            [0.96 * np.cos(_H2O_ANG), 0.96 * np.sin(_H2O_ANG), 0.0],
+            [0.96 * np.cos(_H2O_ANG), -0.96 * np.sin(_H2O_ANG), 0.0],
+        ], np.float32),
+        "bonds": [(0, 1, 1), (0, 2, 1)],
+    },
+    {
+        "name": "HF",
+        "types": np.array([4, 0]),                   # F H
+        "charges": np.array([9, 1], np.float32),
+        "coords": np.array([[0.0, 0.0, 0.0], [0.92, 0.0, 0.0]], np.float32),
+        "bonds": [(0, 1, 1)],
+    },
+]
+
+TEMPLATE_MAX_ATOMS = max(len(t["types"]) for t in MOLECULE_TEMPLATES)
+TEMPLATE_NUM_TYPES = 5
+
+
+def _random_rotations(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Uniform random rotation matrices via normalized quaternions [n,3,3]."""
+    q = rng.standard_normal((n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    w, i, j, k = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack([
+        1 - 2 * (j ** 2 + k ** 2), 2 * (i * j - k * w), 2 * (i * k + j * w),
+        2 * (i * j + k * w), 1 - 2 * (i ** 2 + k ** 2), 2 * (j * k - i * w),
+        2 * (i * k - j * w), 2 * (j * k + i * w), 1 - 2 * (i ** 2 + j ** 2),
+    ], axis=-1).reshape(n, 3, 3)
+
+
+def template_molecule_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    max_nodes: int = TEMPLATE_MAX_ATOMS,
+    templates: Optional[Sequence[Dict]] = None,
+) -> Dict[str, np.ndarray]:
+    """Sample randomly-rotated zero-CoM template molecules, padded to
+    `max_nodes`. Returns coords [B,N,3], types [B,N] (QM9 decoder indices),
+    charges [B,N] (atomic numbers), bond_orders [B,N,N], mask [B,N]."""
+    templates = list(templates if templates is not None else MOLECULE_TEMPLATES)
+    idx = rng.integers(0, len(templates), size=batch_size)
+    rots = _random_rotations(rng, batch_size)
+    coords = np.zeros((batch_size, max_nodes, 3), np.float32)
+    types = np.zeros((batch_size, max_nodes), np.int64)
+    charges = np.zeros((batch_size, max_nodes), np.float32)
+    orders = np.zeros((batch_size, max_nodes, max_nodes), np.int64)
+    mask = np.zeros((batch_size, max_nodes), np.float32)
+    for b, ti in enumerate(idx):
+        t = templates[ti]
+        n = len(t["types"])
+        xyz = t["coords"] - t["coords"].mean(axis=0, keepdims=True)
+        coords[b, :n] = xyz @ rots[b].T
+        types[b, :n] = t["types"]
+        charges[b, :n] = t["charges"]
+        mask[b, :n] = 1.0
+        for i, j, o in t["bonds"]:
+            orders[b, i, j] = orders[b, j, i] = o
+    return {"coords": coords, "types": types, "charges": charges,
+            "bond_orders": orders, "mask": mask, "template_idx": idx}
+
+
+def template_size_histogram(
+        templates: Optional[Sequence[Dict]] = None) -> Dict[int, float]:
+    templates = list(templates if templates is not None else MOLECULE_TEMPLATES)
+    hist: Dict[int, float] = {}
+    for t in templates:
+        hist[len(t["types"])] = hist.get(len(t["types"]), 0.0) + 1.0
+    return hist
+
+
+# --------------------------------------------------------------------------
+# Protein sequence<->structure rule
+# --------------------------------------------------------------------------
+
+# O-atom offset magnitude encodes the residue type: d(s) = 3.0 + 0.4 s,
+# spanning 3.0..10.6 A — inside ops/graph.rbf's [2, 22] A window with one
+# code point every 0.4 A (>> the 1.25 A RBF sigma resolves noiselessly).
+O_CODE_BASE = 3.0
+O_CODE_STEP = 0.4
+
+
+def protein_rule_batch(rng: np.random.Generator, batch_size: int,
+                       length: int, single_dim: int = 8, pair_dim: int = 4,
+                       structure_dim: int = 8) -> Dict[str, np.ndarray]:
+    """Backbones whose O-atom offset length deterministically encodes the
+    residue identity. Same schema as train/protein.synthetic_protein_batch
+    (featurize(); reference protein/fmif/model_utils.py:17-165); the repr_*
+    entries are zeros (alignment off for convergence runs)."""
+    s = rng.integers(0, 20, size=(batch_size, length))
+    steps = rng.standard_normal((batch_size, length, 3)).astype(np.float32) * 1.5
+    ca = np.cumsum(steps, axis=1)
+    ca[..., 0] += 3.8 * np.arange(length, dtype=np.float32)
+    x = np.zeros((batch_size, length, 4, 3), np.float32)
+    x[:, :, 0] = ca + np.array([-1.46, 0.0, 0.0], np.float32)   # N
+    x[:, :, 1] = ca                                              # Ca
+    x[:, :, 2] = ca + np.array([1.52, 0.0, 0.0], np.float32)    # C
+    d = (O_CODE_BASE + O_CODE_STEP * s).astype(np.float32)
+    x[:, :, 3] = ca + d[..., None] * np.array([0.0, 0.0, 1.0], np.float32)
+    return {
+        "X": x,
+        "S": s.astype(np.int32),
+        "mask": np.ones((batch_size, length), np.float32),
+        "chain_M": np.ones((batch_size, length), np.float32),
+        "residue_idx": np.broadcast_to(
+            np.arange(length, dtype=np.int32)[None], (batch_size, length)
+        ).copy(),
+        "chain_encoding_all": np.zeros((batch_size, length), np.int32),
+        "repr_single": np.zeros((batch_size, length, single_dim), np.float32),
+        "repr_pair": np.zeros((batch_size, length, length, pair_dim),
+                              np.float32),
+        "repr_structure": np.zeros((batch_size, length, structure_dim),
+                                   np.float32),
+    }

@@ -290,17 +290,19 @@ class EnVariationalDiffusion:
         est_int = z_h_int * nv[2] + nb[2]
         est_cat = z_h_cat * nv[1] + nb[1]
         int_centered = h_integer - est_int
-        log_ph_int = jnp.log(
+        # max() not +epsilon: float32 erf cancellation can make the cdf
+        # difference slightly negative (~-1e-7), which log() turns into NaN
+        log_ph_int = jnp.log(jnp.maximum(
             cdf_standard_gaussian((int_centered + 0.5) / sigma_0_int)
-            - cdf_standard_gaussian((int_centered - 0.5) / sigma_0_int)
-            + epsilon)
+            - cdf_standard_gaussian((int_centered - 0.5) / sigma_0_int),
+            epsilon))
         log_ph_int = sum_except_batch(log_ph_int * node_mask)
 
         centered_cat = est_cat - 1
-        log_ph_cat_prop = jnp.log(
+        log_ph_cat_prop = jnp.log(jnp.maximum(
             cdf_standard_gaussian((centered_cat + 0.5) / sigma_0_cat)
-            - cdf_standard_gaussian((centered_cat - 0.5) / sigma_0_cat)
-            + epsilon)
+            - cdf_standard_gaussian((centered_cat - 0.5) / sigma_0_cat),
+            epsilon))
         log_z = jax.nn.logsumexp(log_ph_cat_prop, axis=2, keepdims=True)
         log_probs = log_ph_cat_prop - log_z
         log_ph_cat = sum_except_batch(log_probs * onehot * node_mask)

@@ -1,0 +1,165 @@
+"""Convergence acceptance run: EDM learns rigid QM9-chemistry templates to
+high atom/molecule stability.
+
+Mirrors the reference's metrics-as-acceptance loop (analyze_and_save at
+molecule/train_test.py:170-233 scoring analyze_stability_for_molecules):
+train EnVariationalDiffusion on randomly-rotated rigid templates
+(data/synthetic.MOLECULE_TEMPLATES — CH4/NH3/H2O/HF with textbook bond
+geometry), then sample molecules and score stability/validity with
+eval/molecule_metrics.MoleculeMetrics. Untrained: ~0 stability. Learned:
+atoms land inside the bond-order distance windows.
+
+Usage:
+  python tools/convergence_edm.py                  # TPU, full run
+  python tools/convergence_edm.py --tiny --cpu     # smoke scale
+Writes CONVERGENCE_EDM.json at the repo root (or --out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--timesteps", type=int, default=500)
+    ap.add_argument("--n-eval", type=int, default=256)
+    ap.add_argument("--out", default="CONVERGENCE_EDM.json")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reed_tpu.core.config import CurriculumConfig, OptimConfig
+    from reed_tpu.data.synthetic import (
+        MOLECULE_TEMPLATES,
+        TEMPLATE_MAX_ATOMS,
+        TEMPLATE_NUM_TYPES,
+        template_molecule_batch,
+    )
+    from reed_tpu.diffusion.edm import EDMConfig
+    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+    from reed_tpu.train.molecule_edm import MoleculeEDMConfig, MoleculeEDMTrainer
+
+    if args.tiny:
+        args.steps = min(args.steps, 600)
+        args.batch_size = 32
+        args.hidden = 64
+        args.layers = 2
+        args.timesteps = 100
+        args.n_eval = 64
+
+    max_n = TEMPLATE_MAX_ATOMS
+    cfg = MoleculeEDMConfig(
+        num_atom_types=TEMPLATE_NUM_TYPES,
+        include_charges=True,
+        max_nodes=max_n,
+        hidden_nf=args.hidden,
+        n_layers=args.layers,
+        rep_nf=None,                      # unconditional
+        edm=EDMConfig(timesteps=args.timesteps),
+        batch_size=args.batch_size,
+        optim=OptimConfig(lr=args.lr, grad_clip=1.0),
+        curriculum=CurriculumConfig(proj_coeff=0.0,
+                                    diffusion_warmup_steps=0),
+    )
+    trainer = MoleculeEDMTrainer(cfg)
+    state = trainer.init_state()
+
+    def host_batch(r: np.random.Generator):
+        raw = template_molecule_batch(r, args.batch_size, max_n)
+        mask = raw["mask"][..., None]
+        diag = np.eye(max_n, dtype=np.float32)[None, :, :, None]
+        edge_mask = mask[:, :, None, :] * mask[:, None, :, :] * (1.0 - diag)
+        one_hot = np.eye(TEMPLATE_NUM_TYPES, dtype=np.float32)[
+            raw["types"]] * mask
+        return {
+            "positions": jnp.asarray(raw["coords"]),
+            "one_hot": jnp.asarray(one_hot),
+            "charges": jnp.asarray(raw["charges"][..., None] * mask),
+            "node_mask": jnp.asarray(mask),
+            "edge_mask": jnp.asarray(edge_mask),
+        }
+
+    metrics_eval = MoleculeMetrics()
+
+    def score(params, seed: int):
+        """Sample n_eval molecules (template-matched sizes) and score."""
+        r = np.random.default_rng(20_000 + seed)
+        sizes = np.array([len(MOLECULE_TEMPLATES[i]["types"])
+                          for i in r.integers(0, len(MOLECULE_TEMPLATES),
+                                              size=args.n_eval)])
+        mask = (np.arange(max_n)[None, :] < sizes[:, None]
+                ).astype(np.float32)[..., None]
+        diag = np.eye(max_n, dtype=np.float32)[None, :, :, None]
+        edge_mask = mask[:, :, None, :] * mask[:, None, :, :] * (1.0 - diag)
+        x, h_cat, _ = trainer.sample(
+            params, jax.random.PRNGKey(seed), args.n_eval,
+            jnp.asarray(mask), jnp.asarray(edge_mask))
+        x = jax.device_get(x)
+        types = np.argmax(jax.device_get(h_cat), axis=-1)
+        mols = [(x[b, :sizes[b]], types[b, :sizes[b]])
+                for b in range(args.n_eval)]
+        return metrics_eval.evaluate(mols)
+
+    t0 = time.time()
+    m0 = score(state.params, 0)
+    print(f"step-0: {m0} ({time.time()-t0:.1f}s)", flush=True)
+
+    rng = trainer.train_rng
+    losses = []
+    t0 = time.time()
+    for step in range(args.steps):
+        batch = host_batch(np.random.default_rng(step))
+        state, metrics = trainer.train_step(state, batch, rng)
+        if step % 200 == 0 or step == args.steps - 1:
+            loss = float(jax.device_get(metrics["denoising_loss"]))
+            losses.append({"step": step, "nll": loss})
+            print(f"step {step}: nll={loss:.4f}", flush=True)
+    train_secs = time.time() - t0
+
+    m_ema = score(state.ema_params, 1)
+    m_final = score(state.params, 1)
+    print(f"final: params={m_final} ema={m_ema}", flush=True)
+
+    result = {
+        "domain": "molecule_edm",
+        "metric": "mol_stable/atom_stable/validity",
+        "step0": m0,
+        "final": m_final,
+        "final_ema": m_ema,
+        "steps": args.steps,
+        "train_seconds": round(train_secs, 1),
+        "platform": jax.devices()[0].platform,
+        "config": {"batch_size": args.batch_size, "hidden": args.hidden,
+                   "layers": args.layers, "lr": args.lr,
+                   "timesteps": args.timesteps, "n_eval": args.n_eval},
+        "loss_curve": losses,
+        "command": "python tools/convergence_edm.py"
+                   + (" --tiny --cpu" if args.tiny else ""),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items() if k != "loss_curve"}))
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,184 @@
+"""Convergence acceptance run: SemlaFlow learns rigid QM9-chemistry
+templates to high stability/validity.
+
+Mirrors the reference's generation-based validation
+(molecule/semlaflow/flowmodels/fm.py:677-693: sample with the Integrator,
+score stability/validity every val epoch): train the Semla generator on
+randomly-rotated rigid templates (data/synthetic.MOLECULE_TEMPLATES), then
+integrate from the prior and score with eval/molecule_metrics.
+
+Usage:
+  python tools/convergence_semla.py                  # TPU, full run
+  python tools/convergence_semla.py --tiny --cpu     # smoke scale
+Writes CONVERGENCE_SEMLA.json at the repo root (or --out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--d-model", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--coord-sets", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--integrator-steps", type=int, default=100)
+    ap.add_argument("--n-eval", type=int, default=256)
+    ap.add_argument("--out", default="CONVERGENCE_SEMLA.json")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reed_tpu.core.config import CurriculumConfig, OptimConfig
+    from reed_tpu.data.synthetic import (
+        MOLECULE_TEMPLATES,
+        TEMPLATE_MAX_ATOMS,
+        TEMPLATE_NUM_TYPES,
+        template_molecule_batch,
+    )
+    from reed_tpu.diffusion.molecule_fm import (
+        IntegratorConfig,
+        MoleculeInterpolantConfig,
+        MoleculePriorConfig,
+        interpolate_batch,
+    )
+    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+    from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+    if args.tiny:
+        args.steps = min(args.steps, 500)
+        args.batch_size = 32
+        args.d_model = 64
+        args.layers = 2
+        args.coord_sets = 8
+        args.integrator_steps = 50
+        args.n_eval = 64
+
+    max_n = TEMPLATE_MAX_ATOMS
+    n_bond_types = 5
+    n_charge_types = 7
+    cfg = SemlaTrainConfig(
+        vocab_size=TEMPLATE_NUM_TYPES,
+        n_bond_types=n_bond_types,
+        n_charge_types=n_charge_types,
+        max_atoms=max_n,
+        d_model=args.d_model,
+        d_message=args.d_model // 2,
+        n_layers=args.layers,
+        n_coord_sets=args.coord_sets,
+        d_message_hidden=args.d_model // 2,
+        d_edge=64,
+        n_attn_heads=8,
+        size_emb=16,
+        d_rep=None,
+        rep_alignment=False,
+        interpolant=MoleculeInterpolantConfig(
+            prior=MoleculePriorConfig(vocab_size=TEMPLATE_NUM_TYPES,
+                                      n_bond_types=n_bond_types)),
+        integrator=IntegratorConfig(steps=args.integrator_steps),
+        batch_size=args.batch_size,
+        optim=OptimConfig(lr=args.lr, grad_clip=1.0),
+        curriculum=CurriculumConfig(proj_coeff=0.0,
+                                    diffusion_warmup_steps=0),
+    )
+    trainer = SemlaTrainer(cfg)
+    state = trainer.init_state()
+
+    def host_batch(r: np.random.Generator):
+        raw = template_molecule_batch(r, args.batch_size, max_n)
+        mask = raw["mask"]
+        atomics = np.eye(TEMPLATE_NUM_TYPES, dtype=np.float32)[
+            raw["types"]] * mask[..., None]
+        bonds = np.eye(n_bond_types, dtype=np.float32)[
+            np.minimum(raw["bond_orders"], n_bond_types - 1)]
+        charges = np.zeros((args.batch_size, max_n, n_charge_types),
+                           np.float32)
+        charges[..., 0] = mask
+        data = {"coords": raw["coords"], "atomics": atomics, "bonds": bonds,
+                "charges": charges, "mask": mask}
+        prior, interpolated, times = interpolate_batch(r, cfg.interpolant,
+                                                       data)
+        return jax.tree.map(jnp.asarray, {
+            "data": data, "prior": prior, "interpolated": interpolated,
+            "times": times})
+
+    metrics_eval = MoleculeMetrics()
+
+    def score(params, seed: int):
+        r = np.random.default_rng(30_000 + seed)
+        sizes = np.array([len(MOLECULE_TEMPLATES[i]["types"])
+                          for i in r.integers(0, len(MOLECULE_TEMPLATES),
+                                              size=args.n_eval)])
+        mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
+        prior = trainer.sample_prior(r, mask)
+        final = trainer.generate(params, jax.random.PRNGKey(seed), prior)
+        coords = jax.device_get(final["coords"])
+        types = np.argmax(jax.device_get(final["atomics"]), axis=-1)
+        mols = [(coords[b, :sizes[b]], types[b, :sizes[b]])
+                for b in range(args.n_eval)]
+        return metrics_eval.evaluate(mols)
+
+    t0 = time.time()
+    m0 = score(state.params, 0)
+    print(f"step-0: {m0} ({time.time()-t0:.1f}s)", flush=True)
+
+    rng = trainer.train_rng
+    losses = []
+    t0 = time.time()
+    for step in range(args.steps):
+        batch = host_batch(np.random.default_rng(step))
+        state, metrics = trainer.train_step(state, batch, rng)
+        if step % 200 == 0 or step == args.steps - 1:
+            loss = float(jax.device_get(metrics["denoising_loss"]))
+            cl = float(jax.device_get(metrics["coord_loss"]))
+            losses.append({"step": step, "loss": loss, "coord": cl})
+            print(f"step {step}: loss={loss:.4f} coord={cl:.4f}", flush=True)
+    train_secs = time.time() - t0
+
+    m_ema = score(state.ema_params, 1)
+    m_final = score(state.params, 1)
+    print(f"final: params={m_final} ema={m_ema}", flush=True)
+
+    result = {
+        "domain": "molecule_semla",
+        "metric": "mol_stable/atom_stable/validity",
+        "step0": m0,
+        "final": m_final,
+        "final_ema": m_ema,
+        "steps": args.steps,
+        "train_seconds": round(train_secs, 1),
+        "platform": jax.devices()[0].platform,
+        "config": {"batch_size": args.batch_size, "d_model": args.d_model,
+                   "layers": args.layers, "coord_sets": args.coord_sets,
+                   "lr": args.lr,
+                   "integrator_steps": args.integrator_steps,
+                   "n_eval": args.n_eval},
+        "loss_curve": losses,
+        "command": "python tools/convergence_semla.py"
+                   + (" --tiny --cpu" if args.tiny else ""),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items() if k != "loss_curve"}))
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
