@@ -429,6 +429,18 @@ def train_multiflow(args):
     cfg = _resolve_cfg(MultiflowTrainConfig, args)
     trainer = MultiflowTrainer(cfg)
     state = trainer.init_state()
+    if getattr(args, "ref_ckpt", None):
+        # reference torch MultiFlow/Lightning checkpoint, converted on load
+        # (encoders/multiflow_convert.py); dims must match via --set
+        from reed_tpu.encoders.multiflow_convert import \
+            load_torch_multiflow_checkpoint
+
+        conv = jax.tree.map(jnp.asarray, load_torch_multiflow_checkpoint(
+            args.ref_ckpt, num_blocks=cfg.num_blocks,
+            seq_tfmr_num_layers=cfg.seq_tfmr_num_layers))
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
+        print(f"warm-started from reference checkpoint {args.ref_ckpt}")
 
     if args.synthetic or not args.data_dir:
         def gen():
@@ -974,7 +986,17 @@ def eval_multiflow(args):
     cfg = _resolve_cfg(MultiflowTrainConfig, args)
     trainer = MultiflowTrainer(cfg)
     state = trainer.init_state()
-    if args.ckpt_dir:
+    if getattr(args, "ref_ckpt", None):
+        from reed_tpu.encoders.multiflow_convert import \
+            load_torch_multiflow_checkpoint
+
+        conv = jax.tree.map(jnp.asarray, load_torch_multiflow_checkpoint(
+            args.ref_ckpt, num_blocks=cfg.num_blocks,
+            seq_tfmr_num_layers=cfg.seq_tfmr_num_layers))
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
+        print(f"loaded reference torch checkpoint {args.ref_ckpt}")
+    elif args.ckpt_dir:
         from reed_tpu.core.checkpoint import CheckpointManager
 
         state = CheckpointManager(args.ckpt_dir).restore(
@@ -1110,6 +1132,9 @@ def main(argv=None):
     p.set_defaults(fn=train_molecule_semla)
 
     p = sub.add_parser("train-multiflow")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="reference torch MultiFlow/Lightning checkpoint to "
+                        "warm-start from (converted on load)")
     _add_common(p)
     p.set_defaults(fn=train_multiflow)
 
@@ -1173,6 +1198,9 @@ def main(argv=None):
     p.add_argument("--length", type=int, default=64)
     p.add_argument("--num-steps", type=int, default=100)
     p.add_argument("--out", default=None, help="PDB output dir")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="reference torch MultiFlow/Lightning checkpoint "
+                        "(converted on load; dims via --set)")
     _add_common(p)
     p.set_defaults(fn=eval_multiflow)
 

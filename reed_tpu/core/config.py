@@ -52,6 +52,10 @@ class MeshConfig:
     data: Optional[int] = None
     fsdp: int = 1
     tensor: int = 1
+    # Minimum param size (elements) for FSDP sharding; None = library
+    # default (parallel/mesh.FSDP_MIN_SIZE). Small params are replicated:
+    # sharding them pollutes activation shardings (involuntary remat).
+    fsdp_min_size: Optional[int] = None
 
 
 def to_dict(cfg) -> Dict[str, Any]:

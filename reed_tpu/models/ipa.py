@@ -19,7 +19,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from reed_tpu.nn.layers import timestep_embedding
 from reed_tpu.ops.so3 import quat_to_rotmat
 
 Dtype = Any
@@ -42,6 +41,40 @@ def rigid_apply(rot, trans, points):
 
 def rigid_invert_apply(rot, trans, points):
     return jnp.einsum("...ji,...pj->...pi", rot, points - trans[..., None, :])
+
+
+def mf_time_embedding(t, dim: int, max_positions: int = 2056):
+    """Reference-exact diffusion time embedding [sin | cos]
+    (multiflow/models/utils.py:49-61, called with max_positions=2056)."""
+    half = dim // 2
+    t = t.astype(jnp.float32) * max_positions
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                    * (-math.log(max_positions) / (half - 1)))
+    args = t[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def mf_index_embedding(indices, dim: int, max_len: int = 2056):
+    """Reference-exact index embedding [sin_all | cos_all]
+    (multiflow/models/utils.py:28-46)."""
+    k = jnp.arange(dim // 2, dtype=jnp.float32)
+    args = (indices.astype(jnp.float32)[..., None] * math.pi
+            / (max_len ** (2.0 * k / dim)))
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def mf_distogram(pos, min_bin: float = 1e-3, max_bin: float = 20.0,
+                 num_bins: int = 22):
+    """Reference-exact distogram (multiflow/models/utils.py:15-25):
+    (d > lower) & (d < upper) per bin, last bin open-ended."""
+    d = jnp.linalg.norm(pos[:, :, None, :] - pos[:, None, :, :],
+                        axis=-1)[..., None]
+    lower = jnp.linspace(min_bin, max_bin, num_bins)
+    upper = jnp.concatenate([lower[1:], jnp.full((1,), 1e8)])
+    return ((d > lower) & (d < upper)).astype(jnp.float32)
 
 
 class InvariantPointAttention(nn.Module):
@@ -72,8 +105,9 @@ class InvariantPointAttention(nn.Module):
         kv_pts = nn.Dense(h * (pq + pv) * 3, dtype=self.dtype,
                           name="linear_kv_points")(s)
         kv_pts = rigid_apply(rot, trans, kv_pts.reshape(b, n, h * (pq + pv), 3))
-        k_pts = kv_pts[:, :, :h * pq].reshape(b, n, h, pq, 3)
-        v_pts = kv_pts[:, :, h * pq:].reshape(b, n, h, pv, 3)
+        # split per head on the point axis (ipa_pytorch.py:370-373)
+        kv_pts = kv_pts.reshape(b, n, h, pq + pv, 3)
+        k_pts, v_pts = kv_pts[:, :, :, :pq], kv_pts[:, :, :, pq:]
         q_pts = q_pts.reshape(b, n, h, pq, 3)
 
         bias = nn.Dense(h, dtype=self.dtype, name="linear_b")(z)  # [B,N,N,H]
@@ -91,7 +125,9 @@ class InvariantPointAttention(nn.Module):
         pt_att = pt_att * gamma[None, None, None, :] * (-0.5)
         att = att + jnp.transpose(pt_att, (0, 3, 1, 2))
 
-        att = att + (mask[:, None, None, :] - 1.0) * 1e5  # mask keys
+        # square mask, exactly as the reference (ipa_pytorch.py:409-415)
+        square_mask = mask[:, None, :] * mask[:, :, None]
+        att = att + ((square_mask - 1.0) * 1e5)[:, None, :, :]
         att = jax.nn.softmax(att.astype(jnp.float32), axis=-1
                              ).astype(self.dtype)  # [B,H,N,N]
 
@@ -99,7 +135,11 @@ class InvariantPointAttention(nn.Module):
         o_pt = jnp.einsum("bhij,bjhpd->bihpd", att, v_pts)
         o_pt = rigid_invert_apply(rot, trans, o_pt.reshape(b, n, h * pv, 3))
         o_pt_norm = jnp.sqrt(jnp.sum(o_pt ** 2, -1) + 1e-8)
-        o_pair = jnp.einsum("bhij,bijz->bihz", att, z).reshape(b, n, -1)
+        # pair output through down_z (ipa_pytorch.py:289,460-466): 4x fewer
+        # FLOPs in the attention-weighted pair sum and the output projection
+        pair_z = nn.Dense(self.c_z // 4, dtype=self.dtype,
+                          name="down_z")(z)
+        o_pair = jnp.einsum("bhij,bijz->bihz", att, pair_z).reshape(b, n, -1)
 
         out = jnp.concatenate([
             o, o_pt.reshape(b, n, h * pv * 3), o_pt_norm, o_pair], axis=-1)
@@ -118,7 +158,7 @@ class StructureModuleTransition(nn.Module):
         h = nn.relu(nn.Dense(c, dtype=self.dtype, name="l2")(h))
         s = s + nn.Dense(c, dtype=self.dtype,
                          kernel_init=nn.initializers.zeros, name="l3")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(s)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(s)
 
 
 class BackboneUpdate(nn.Module):
@@ -149,95 +189,134 @@ def apply_backbone_update(rot, trans, update, mask):
 
 
 class EdgeTransition(nn.Module):
-    """Edge update from node embeddings (reference: ipa_pytorch.py:537-580)."""
+    """Edge update from node embeddings (reference: ipa_pytorch.py:571-608):
+    cross-concat of dilated node embeds onto the edge embed, a residual
+    2-layer ReLU trunk at the concat width, final projection + LayerNorm."""
 
+    node_embed_size: int = 256
     edge_embed_out: int = 128
     num_layers: int = 2
+    node_dilation: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, node_embed, edge_embed):
         b, n, _ = node_embed.shape
-        bias = nn.Dense(self.edge_embed_out // 2, dtype=self.dtype,
-                        name="initial_embed")(node_embed)
+        bias = nn.Dense(self.node_embed_size // self.node_dilation,
+                        dtype=self.dtype, name="initial_embed")(node_embed)
         edge_bias = jnp.concatenate([
             jnp.broadcast_to(bias[:, :, None], (b, n, n, bias.shape[-1])),
             jnp.broadcast_to(bias[:, None, :], (b, n, n, bias.shape[-1])),
         ], axis=-1)
         x = jnp.concatenate([edge_embed, edge_bias], axis=-1)
+        h = x
         for i in range(self.num_layers):
-            x = nn.Dense(self.edge_embed_out * 2, dtype=self.dtype,
-                         name=f"fc_{i}")(x)
-            x = nn.relu(x)
-        x = nn.Dense(self.edge_embed_out, dtype=self.dtype, name="out")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+            h = nn.Dense(x.shape[-1], dtype=self.dtype,
+                         name=f"trunk_{i}")(h)
+            h = nn.relu(h)
+        x = nn.Dense(self.edge_embed_out, dtype=self.dtype,
+                     name="final_layer")(h + x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
 
 
 class NodeFeatureNet(nn.Module):
-    """Timesteps + positions + aatypes (+ self-cond aatypes) -> node embed
-    (reference: multiflow/models/node_feature_net.py)."""
+    """Positions + diffuse mask + timesteps + aatypes (+ self-cond aatype
+    logits) -> node embed; structurally weight-compatible with the
+    reference (multiflow/models/node_feature_net.py, pdb_codesign config:
+    use_mlp=True, embed_aatype=True)."""
 
     c_s: int = 256
     c_pos_emb: int = 128
     c_timestep_emb: int = 128
     num_tokens: int = NUM_TOKENS
+    embed_aatype: bool = True
+    use_mlp: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, so3_t, r3_t, cat_t, res_mask, pos, aatypes,
-                 aatypes_sc=None):
+    def __call__(self, so3_t, r3_t, cat_t, res_mask, diffuse_mask, pos,
+                 aatypes, aatypes_sc=None):
         b, n = res_mask.shape
-        pos_emb = timestep_embedding(pos.reshape(-1).astype(jnp.float32),
-                                     self.c_pos_emb).reshape(b, n, -1)
-        feats = [pos_emb * res_mask[..., None]]
-        for t in (so3_t, r3_t, cat_t):
-            t_emb = timestep_embedding(t.reshape(-1), self.c_timestep_emb
-                                       ).reshape(b, 1, -1)
+        pos_emb = mf_index_embedding(pos, self.c_pos_emb).astype(self.dtype)
+        feats = [pos_emb * res_mask[..., None],
+                 diffuse_mask[..., None].astype(self.dtype)]
+        for t in (so3_t, r3_t):
+            t_emb = mf_time_embedding(t.reshape(-1), self.c_timestep_emb
+                                      ).reshape(b, 1, -1)
             feats.append(jnp.broadcast_to(t_emb, (b, n, t_emb.shape[-1]))
-                         * res_mask[..., None])
-        feats.append(nn.Embed(self.num_tokens + 1, 64, dtype=self.dtype,
-                              name="aatype_embed")(aatypes))
-        if aatypes_sc is not None:
-            feats.append(nn.Dense(64, dtype=self.dtype, name="sc_embed")(
-                aatypes_sc.astype(self.dtype)))
+                         .astype(self.dtype) * res_mask[..., None])
+        if self.embed_aatype:
+            # Embedding(21, c_s) — the reference table covers 20 aa + mask
+            feats.append(nn.Embed(21, self.c_s, dtype=self.dtype,
+                                  name="aatype_embed")(aatypes))
+            cat_emb = mf_time_embedding(cat_t.reshape(-1),
+                                        self.c_timestep_emb).reshape(b, 1, -1)
+            feats.append(jnp.broadcast_to(cat_emb, (b, n, cat_emb.shape[-1]))
+                         .astype(self.dtype) * res_mask[..., None])
+            sc = (aatypes_sc if aatypes_sc is not None
+                  else jnp.zeros((b, n, self.num_tokens)))
+            feats.append(sc.astype(self.dtype))
         x = jnp.concatenate([f.astype(self.dtype) for f in feats], axis=-1)
-        return nn.Dense(self.c_s, dtype=self.dtype, name="linear")(x)
+        if not self.use_mlp:
+            return nn.Dense(self.c_s, dtype=self.dtype, name="linear")(x)
+        x = nn.Dense(self.c_s, dtype=self.dtype, name="linear_0")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.c_s, dtype=self.dtype, name="linear_2")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.c_s, dtype=self.dtype, name="linear_4")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="linear_ln")(x)
 
 
 class EdgeFeatureNet(nn.Module):
-    """Pair features: node-embed pairs + distogram of trans_t (+ self-cond
-    distogram) + relative position (reference: edge_feature_net.py)."""
+    """Pair features: cross-concat node projections + relpos embedding +
+    distograms of trans_t / self-cond trans (+ diffuse-mask cross-concat);
+    structurally weight-compatible with the reference
+    (multiflow/models/edge_feature_net.py, embed_diffuse_mask=True)."""
 
+    c_s: int = 256
     c_z: int = 128
+    feat_dim: int = 64
     num_bins: int = 22
+    embed_diffuse_mask: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, node_embed, trans_t, trans_sc, edge_mask, res_idx):
+    def __call__(self, node_embed, trans_t, trans_sc, edge_mask,
+                 diffuse_mask):
         b, n, _ = node_embed.shape
-        proj = nn.Dense(self.c_z // 2, dtype=self.dtype, name="node_proj")(
-            node_embed)
-        pair_nodes = jnp.concatenate([
-            jnp.broadcast_to(proj[:, :, None], (b, n, n, proj.shape[-1])),
-            jnp.broadcast_to(proj[:, None, :], (b, n, n, proj.shape[-1])),
-        ], axis=-1)
 
-        def distogram(x):
-            d = jnp.linalg.norm(
-                x[:, :, None, :] - x[:, None, :, :] + 1e-8, axis=-1)
-            bins = jnp.linspace(0.0, 20.0, self.num_bins)
-            idx = jnp.sum(d[..., None] > bins, axis=-1) - 1
-            return jax.nn.one_hot(jnp.clip(idx, 0, self.num_bins - 1),
-                                  self.num_bins, dtype=self.dtype)
+        def cross_concat(f):
+            return jnp.concatenate([
+                jnp.broadcast_to(f[:, :, None], (b, n, n, f.shape[-1])),
+                jnp.broadcast_to(f[:, None, :], (b, n, n, f.shape[-1])),
+            ], axis=-1)
 
-        rel = jnp.clip(res_idx[:, :, None] - res_idx[:, None, :], -32, 32) + 32
-        rel = jax.nn.one_hot(rel, 65, dtype=self.dtype)
-        x = jnp.concatenate([pair_nodes, distogram(trans_t),
-                             distogram(trans_sc), rel], axis=-1)
-        x = nn.Dense(self.c_z, dtype=self.dtype, name="fc1")(x)
+        p_i = nn.Dense(self.feat_dim, dtype=self.dtype,
+                       name="linear_s_p")(node_embed)
+        cross_node = cross_concat(p_i)
+
+        # reference uses arange, not res_idx (edge_feature_net.py:57-60)
+        r = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
+        d = r[:, :, None] - r[:, None, :]
+        relpos = nn.Dense(self.feat_dim, dtype=self.dtype,
+                          name="linear_relpos")(
+            mf_index_embedding(d, self.feat_dim).astype(self.dtype))
+
+        feats = [cross_node, relpos,
+                 mf_distogram(trans_t, num_bins=self.num_bins
+                              ).astype(self.dtype),
+                 mf_distogram(trans_sc, num_bins=self.num_bins
+                              ).astype(self.dtype)]
+        if self.embed_diffuse_mask:
+            feats.append(cross_concat(diffuse_mask[..., None]
+                                      ).astype(self.dtype))
+        x = jnp.concatenate(feats, axis=-1)
+        x = nn.Dense(self.c_z, dtype=self.dtype, name="embed_0")(x)
         x = nn.relu(x)
-        x = nn.Dense(self.c_z, dtype=self.dtype, name="fc2")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        x = nn.Dense(self.c_z, dtype=self.dtype, name="embed_2")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.c_z, dtype=self.dtype, name="embed_4")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="embed_ln")(x)
         return x * edge_mask[..., None]
 
 
@@ -256,12 +335,12 @@ class SeqTransformerBlock(nn.Module):
         q, k, v = jnp.split(qkv.reshape(b, n, 3 * self.num_heads, hd), 3, 2)
         attn_mask = (mask[:, None, None, :] > 0)
         o = sdpa_xla(q, k, v, mask=attn_mask).reshape(b, n, d)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(
             x + nn.Dense(d, dtype=self.dtype, name="proj")(o))
         h = nn.Dense(d, dtype=self.dtype, name="fc1")(x)
         h = nn.relu(h)
         h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x + h)
 
 
 class FlowModel(nn.Module):
@@ -270,6 +349,10 @@ class FlowModel(nn.Module):
     c_s: int = 256
     c_z: int = 128
     num_blocks: int = 6
+    ipa_c_hidden: int = 16
+    ipa_no_heads: int = 8
+    ipa_no_qk_points: int = 8
+    ipa_no_v_points: int = 12
     seq_tfmr_num_heads: int = 4
     seq_tfmr_num_layers: int = 2
     aatype_pred_num_tokens: int = NUM_TOKENS
@@ -282,16 +365,17 @@ class FlowModel(nn.Module):
         pred_trans [A], pred_rotmats, pred_logits."""
         mask = batch["res_mask"]
         edge_mask = mask[:, None, :] * mask[:, :, None]
+        diffuse_mask = batch.get("diffuse_mask", jnp.ones_like(mask))
         node_embed = NodeFeatureNet(self.c_s, dtype=self.dtype,
                                     name="node_feature_net")(
             batch["so3_t"], batch["r3_t"], batch["cat_t"], mask,
-            batch["res_idx"], batch["aatypes_t"],
+            diffuse_mask, batch["res_idx"], batch["aatypes_t"],
             batch.get("aatypes_sc"))
-        edge_embed = EdgeFeatureNet(self.c_z, dtype=self.dtype,
+        edge_embed = EdgeFeatureNet(self.c_s, self.c_z, dtype=self.dtype,
                                     name="edge_feature_net")(
             node_embed, batch["trans_t"], batch.get(
                 "trans_sc", jnp.zeros_like(batch["trans_t"])),
-            edge_mask, batch["res_idx"])
+            edge_mask, diffuse_mask)
 
         rot = batch["rotmats_t"]
         trans = batch["trans_t"] * ANG_TO_NM
@@ -300,9 +384,13 @@ class FlowModel(nn.Module):
 
         for bidx in range(self.num_blocks):
             ipa_out = InvariantPointAttention(
-                self.c_s, self.c_z, dtype=self.dtype, name=f"ipa_{bidx}")(
+                self.c_s, self.c_z, c_hidden=self.ipa_c_hidden,
+                no_heads=self.ipa_no_heads,
+                no_qk_points=self.ipa_no_qk_points,
+                no_v_points=self.ipa_no_v_points,
+                dtype=self.dtype, name=f"ipa_{bidx}")(
                 node_embed, edge_embed, rot, trans, mask)
-            node_embed = nn.LayerNorm(dtype=self.dtype,
+            node_embed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                       name=f"ipa_ln_{bidx}")(
                 node_embed + ipa_out * mask[..., None])
             h = node_embed
@@ -319,10 +407,12 @@ class FlowModel(nn.Module):
             node_embed = node_embed * mask[..., None]
             update = BackboneUpdate(dtype=self.dtype,
                                     name=f"bb_update_{bidx}")(node_embed)
-            rot, trans = apply_backbone_update(rot, trans, update, mask)
+            rot, trans = apply_backbone_update(rot, trans, update,
+                                               mask * diffuse_mask)
             if bidx < self.num_blocks - 1:
                 edge_embed = EdgeTransition(
-                    self.c_z, dtype=self.dtype,
+                    node_embed_size=self.c_s, edge_embed_out=self.c_z,
+                    dtype=self.dtype,
                     name=f"edge_transition_{bidx}")(node_embed, edge_embed)
                 edge_embed = edge_embed * edge_mask[..., None]
 

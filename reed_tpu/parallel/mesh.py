@@ -61,9 +61,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def fsdp_spec(shape: tuple, fsdp_size: int, tensor_spec: P | None = None) -> P:
+# Minimum leaf size (elements) for FSDP sharding. Sharding small params
+# saves no meaningful HBM but pollutes activation shardings: XLA propagates
+# the param's feature-dim sharding into the activation graph, conflicts
+# with the batch sharding, and falls back to replicate-then-repartition
+# ("[SPMD] Involuntary full rematerialization" in the r02 dryrun).
+FSDP_MIN_SIZE = 65536
+
+
+def fsdp_spec(shape: tuple, fsdp_size: int, tensor_spec: P | None = None,
+              min_size: int = FSDP_MIN_SIZE) -> P:
     """PartitionSpec sharding the largest divisible dim of `shape` on 'fsdp',
-    respecting dims already claimed by a tensor-parallel spec."""
+    respecting dims already claimed by a tensor-parallel spec.
+
+    1-D params (biases, norm scales) and leaves smaller than `min_size`
+    elements are never FSDP-sharded (see FSDP_MIN_SIZE note)."""
     taken = set()
     parts = [None] * len(shape)
     if tensor_spec is not None:
@@ -71,8 +83,15 @@ def fsdp_spec(shape: tuple, fsdp_size: int, tensor_spec: P | None = None) -> P:
             if ax is not None:
                 parts[i] = ax
                 taken.add(i)
-    if fsdp_size > 1:
-        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    if fsdp_size > 1 and len(shape) >= 2 and \
+            int(np.prod(shape)) >= max(1, min_size):
+        # Prefer dim 0 (the contraction dim of a [in, out] Dense kernel):
+        # sharding the output dim makes XLA propagate a feature-dim sharding
+        # into downstream activations, which conflicts with batch sharding
+        # at fan-out points (e.g. the adaLN conditioning vector, r02 dryrun
+        # involuntary-remat). Contraction-dim shards just all-gather the
+        # kernel before the matmul — pure ZeRO semantics.
+        order = [0] + sorted(range(1, len(shape)), key=lambda i: -shape[i])
         for i in order:
             if i in taken or shape[i] % fsdp_size != 0 or shape[i] < 2 * fsdp_size:
                 continue
@@ -81,15 +100,18 @@ def fsdp_spec(shape: tuple, fsdp_size: int, tensor_spec: P | None = None) -> P:
     return P(*parts)
 
 
-def shard_params(params, mesh: Mesh, tp_rules: Sequence[tuple] = ()):
+def shard_params(params, mesh: Mesh, tp_rules: Sequence[tuple] = (),
+                 fsdp_min_size: Optional[int] = None):
     """Compute a NamedSharding pytree for `params`.
 
     `tp_rules` is a list of (regex, PartitionSpec) matched against the
     '/'-joined param path; first match wins for the tensor axis. FSDP then
-    shards the largest remaining dim. With fsdp=tensor=1 everything is
-    replicated.
+    shards the largest remaining dim of leaves >= `fsdp_min_size` elements
+    (default FSDP_MIN_SIZE; 1-D leaves never shard). With fsdp=tensor=1
+    everything is replicated.
     """
     fsdp_size = mesh.shape[FSDP_AXIS]
+    min_size = FSDP_MIN_SIZE if fsdp_min_size is None else fsdp_min_size
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
@@ -113,7 +135,7 @@ def shard_params(params, mesh: Mesh, tp_rules: Sequence[tuple] = ()):
                 if re.search(pat, ps):
                     tspec = spec
                     break
-        spec = fsdp_spec(np.shape(leaf), fsdp_size, tspec)
+        spec = fsdp_spec(np.shape(leaf), fsdp_size, tspec, min_size=min_size)
         # Drop axes that don't divide the dim (safety for odd shapes).
         fixed = []
         for i, ax in enumerate(spec):
@@ -129,11 +151,82 @@ def shard_params(params, mesh: Mesh, tp_rules: Sequence[tuple] = ()):
     )
 
 
-# Tensor-parallel rules for the SiT transformer: column-parallel qkv / mlp-in,
-# row-parallel attn-out / mlp-out (Megatron layout → one psum per block).
+# Tensor-parallel rules per model family: Megatron layout — column-parallel
+# first projection (P(None, 'tensor') on the [in, out] kernel), row-parallel
+# second projection (P('tensor', None)) → one psum per block. Rules are
+# layout hints only; SPMD guarantees identical numerics, and dims that don't
+# divide the tensor axis are dropped by shard_params' safety check.
+
+# SiT transformer (models/sit.py): qkv/mlp-in columns, attn-out/mlp-out rows.
 SIT_TP_RULES = (
     (r"attn/qkv/kernel", P(None, TENSOR_AXIS)),
     (r"attn/proj/kernel", P(TENSOR_AXIS, None)),
     (r"mlp/fc1/kernel", P(None, TENSOR_AXIS)),
     (r"mlp/fc2/kernel", P(TENSOR_AXIS, None)),
+)
+
+# ProteinMPNN (models/pmpnn.py): position-wise FFN, 3-layer message MLPs
+# (outer pair sharded, middle replicated), edge-update MLP, and the REPA
+# projector MLPs (the largest params in the model).
+PMPNN_TP_RULES = (
+    (r"dense/fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"dense/fc2/kernel", P(TENSOR_AXIS, None)),
+    (r"/W1/kernel", P(None, TENSOR_AXIS)),
+    (r"/W3/kernel", P(TENSOR_AXIS, None)),
+    (r"/W11/kernel", P(None, TENSOR_AXIS)),
+    (r"/W13/kernel", P(TENSOR_AXIS, None)),
+    (r"W_edge_fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"W_edge_fc2/kernel", P(TENSOR_AXIS, None)),
+    (r"projectors_\w+/Dense_0/kernel", P(None, TENSOR_AXIS)),
+    (r"projectors_\w+/Dense_2/kernel", P(TENSOR_AXIS, None)),
+)
+
+# Semla (models/semla.py): node-FF invariant MLP, edge-message MLP,
+# head-parallel node attention, and the input feature projection.
+SEMLA_TP_RULES = (
+    (r"inv_fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"inv_fc2/kernel", P(TENSOR_AXIS, None)),
+    (r"message_fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"message_fc2/kernel", P(TENSOR_AXIS, None)),
+    (r"node_attn/in_proj/kernel", P(None, TENSOR_AXIS)),
+    (r"node_attn/out_proj/kernel", P(TENSOR_AXIS, None)),
+    (r"feat_proj_fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"feat_proj_fc2/kernel", P(TENSOR_AXIS, None)),
+)
+
+# EGNN (models/egnn.py): GCL edge/node/coord MLP pairs and the DiT-style
+# rep-conditioning blocks.
+EGNN_TP_RULES = (
+    (r"edge_fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"edge_fc2/kernel", P(TENSOR_AXIS, None)),
+    (r"node_fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"node_fc2/kernel", P(TENSOR_AXIS, None)),
+    (r"coord_fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"coord_fc2/kernel", P(TENSOR_AXIS, None)),
+    (r"ff_proj/kernel", P(None, TENSOR_AXIS)),
+    (r"ff_out/kernel", P(TENSOR_AXIS, None)),
+)
+
+# MultiFlow IPA trunk (models/ipa.py): head-parallel IPA projections,
+# row-parallel output, seq-transformer qkv/proj + MLP pairs.
+IPA_TP_RULES = (
+    (r"linear_q/kernel", P(None, TENSOR_AXIS)),
+    (r"linear_kv/kernel", P(None, TENSOR_AXIS)),
+    (r"linear_q_points/kernel", P(None, TENSOR_AXIS)),
+    (r"linear_kv_points/kernel", P(None, TENSOR_AXIS)),
+    (r"linear_out/kernel", P(TENSOR_AXIS, None)),
+    (r"qkv/kernel", P(None, TENSOR_AXIS)),
+    (r"proj/kernel", P(TENSOR_AXIS, None)),
+    (r"fc1/kernel", P(None, TENSOR_AXIS)),
+    (r"fc2/kernel", P(TENSOR_AXIS, None)),
+)
+
+# RDM SimpleMLP (models/rdm_mlp.py): residual in/out pairs; the embedding
+# adds (emb_fc/context_fc) are column-sharded so the elementwise add inside
+# the block stays aligned with in_fc's output sharding.
+RDM_TP_RULES = (
+    (r"res_\d+/in_fc/kernel", P(None, TENSOR_AXIS)),
+    (r"res_\d+/emb_fc/kernel", P(None, TENSOR_AXIS)),
+    (r"res_\d+/context_fc/kernel", P(None, TENSOR_AXIS)),
+    (r"res_\d+/out_fc/kernel", P(TENSOR_AXIS, None)),
 )

@@ -102,7 +102,8 @@ class ImageTrainer:
 
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
         param_sharding = meshlib.shard_params(
-            abstract_state.params, self.mesh, meshlib.SIT_TP_RULES)
+            abstract_state.params, self.mesh, meshlib.SIT_TP_RULES,
+            fsdp_min_size=cfg.mesh.fsdp_min_size)
         rep = meshlib.replicated(self.mesh)
         self.state_shardings = TrainState(
             step=rep,

@@ -262,7 +262,9 @@ class SemlaTrainer:
                                   self.optimizer, curriculum,
                                   accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
-        param_sharding = meshlib.shard_params(abstract_state.params, self.mesh)
+        param_sharding = meshlib.shard_params(
+            abstract_state.params, self.mesh, meshlib.SEMLA_TP_RULES,
+            fsdp_min_size=cfg.mesh.fsdp_min_size)
         rep = meshlib.replicated(self.mesh)
         from reed_tpu.train.image import _opt_state_shardings
 

@@ -51,6 +51,11 @@ class MultiflowTrainConfig:
     c_s: int = 256
     c_z: int = 128
     num_blocks: int = 6
+    seq_tfmr_num_layers: int = 2
+    ipa_c_hidden: int = 16
+    ipa_no_heads: int = 8
+    ipa_no_qk_points: int = 8
+    ipa_no_v_points: int = 12
     # losses (reference: configs/base.yaml:82-95)
     translation_loss_weight: float = 2.0
     rotation_loss_weight: float = 1.0
@@ -71,6 +76,11 @@ class MultiflowTrainConfig:
 
 def build_model(cfg: MultiflowTrainConfig) -> FlowModel:
     return FlowModel(c_s=cfg.c_s, c_z=cfg.c_z, num_blocks=cfg.num_blocks,
+                     seq_tfmr_num_layers=cfg.seq_tfmr_num_layers,
+                     ipa_c_hidden=cfg.ipa_c_hidden,
+                     ipa_no_heads=cfg.ipa_no_heads,
+                     ipa_no_qk_points=cfg.ipa_no_qk_points,
+                     ipa_no_v_points=cfg.ipa_no_v_points,
                      aatype_pred_num_tokens=NUM_TOKENS,
                      dtype=jnp.dtype(cfg.compute_dtype))
 
@@ -166,7 +176,9 @@ class MultiflowTrainer:
         step_fn = make_train_step(loss_fn, self.optimizer, curriculum,
                                   accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)
-        param_sharding = meshlib.shard_params(abstract_state.params, self.mesh)
+        param_sharding = meshlib.shard_params(
+            abstract_state.params, self.mesh, meshlib.IPA_TP_RULES,
+            fsdp_min_size=cfg.mesh.fsdp_min_size)
         rep = meshlib.replicated(self.mesh)
         from reed_tpu.train.image import _opt_state_shardings
 

@@ -1,0 +1,41 @@
+"""Tiny-scale convergence acceptance tests (CPU tier of the full TPU runs
+in tools/convergence_*.py, whose committed results live in
+CONVERGENCE_*.json at the repo root).
+
+Each test trains on the learnable synthetic distribution from
+data/synthetic.py, then *generates and scores* — the reference's own QC
+loop (SURVEY.md §4.3) — and asserts the metric clearly beats the untrained
+baseline. Thresholds are conservative: the full runs reach 0.86-1.0."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_protein_recovery_improves():
+    from tools.convergence_protein import main
+
+    res = main(["--tiny", "--cpu", "--steps", "250",
+                "--out", "/tmp/conv_protein_test.json"])
+    assert res["step0"] < 0.15          # untrained ~ chance (0.05)
+    assert res["final"] > res["step0"] + 0.10
+    assert res["final"] > 0.15
+
+
+def test_semla_stability_improves():
+    from tools.convergence_semla import main
+
+    res = main(["--tiny", "--cpu", "--steps", "150", "--n-eval", "48",
+                "--out", "/tmp/conv_semla_test.json"])
+    assert res["final"]["atom_stable"] > res["step0"]["atom_stable"] + 0.1
+    assert res["final"]["mol_stable"] > 0.05
+
+
+def test_edm_stability_improves():
+    from tools.convergence_edm import main
+
+    res = main(["--tiny", "--cpu", "--steps", "250", "--n-eval", "48",
+                "--out", "/tmp/conv_edm_test.json"])
+    assert res["step0"]["atom_stable"] < 0.1
+    assert res["final"]["atom_stable"] > res["step0"]["atom_stable"] + 0.05

@@ -8,7 +8,9 @@ import pytest
 
 from reed_tpu.core.config import MeshConfig, OptimConfig
 
-MESH = MeshConfig(data=4, fsdp=2, tensor=1)
+# fsdp_min_size=0: the tiny test models are all below the production
+# FSDP_MIN_SIZE threshold, and this test wants real fsdp-sharded params
+MESH = MeshConfig(data=4, fsdp=2, tensor=1, fsdp_min_size=0)
 
 
 def _assert_sharded_step(trainer, batch):

@@ -77,8 +77,10 @@ def main(argv=None):
         edm=EDMConfig(timesteps=args.timesteps),
         batch_size=args.batch_size,
         optim=OptimConfig(lr=args.lr, grad_clip=1.0),
-        curriculum=CurriculumConfig(proj_coeff=0.0,
-                                    diffusion_warmup_steps=0),
+        # ema horizon ~1/(1-decay) steps must fit the run length for the
+        # final_ema score to be meaningful (full runs are 2-5k steps)
+        curriculum=CurriculumConfig(proj_coeff=0.0, diffusion_warmup_steps=0,
+                                    ema_decay=0.995),
     )
     trainer = MoleculeEDMTrainer(cfg)
     state = trainer.init_state()
