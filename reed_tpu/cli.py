@@ -382,6 +382,16 @@ def train_molecule_semla(args):
     cfg = _resolve_cfg(SemlaTrainConfig, args)
     trainer = SemlaTrainer(cfg)
     state = trainer.init_state()
+    if getattr(args, "ref_ckpt", None):
+        # reference torch SemlaFlow/Lightning checkpoint, converted on load
+        # (encoders/semla_convert.py); dims must match via --set
+        from reed_tpu.encoders.semla_convert import load_torch_semla_checkpoint
+
+        conv = jax.tree.map(jnp.asarray,
+                            load_torch_semla_checkpoint(args.ref_ckpt))
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
+        print(f"warm-started from reference checkpoint {args.ref_ckpt}")
 
     if args.synthetic or not args.data_dir:
         def gen():
@@ -824,6 +834,94 @@ def eval_protein(args):
     }, indent=2))
 
 
+def eval_semla(args):
+    """SemlaFlow generation eval: N replicates x M molecules integrated
+    from the prior, scored with stability/validity metrics, mean+/-std
+    (reference protocol: molecule/semlaflow/evaluate.py:22-120 — 3
+    replicates x 1000 molecules, 100 integration steps)."""
+    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+    from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+    cfg = _resolve_cfg(SemlaTrainConfig, args, defaults={"batch_size": 16})
+    trainer = SemlaTrainer(cfg)
+    state = trainer.init_state()
+    if getattr(args, "ref_ckpt", None):
+        from reed_tpu.encoders.semla_convert import load_torch_semla_checkpoint
+
+        conv = jax.tree.map(jnp.asarray,
+                            load_torch_semla_checkpoint(args.ref_ckpt))
+        state = state.replace(params=conv,
+                              ema_params=jax.tree.map(jnp.copy, conv))
+        print(f"loaded reference torch checkpoint {args.ref_ckpt}")
+    elif args.ckpt_dir:
+        from reed_tpu.core.checkpoint import CheckpointManager
+
+        state = CheckpointManager(args.ckpt_dir).restore(
+            jax.eval_shape(lambda: state))
+
+    # default decoder = the semla vocab (data/molecule.py: PAD/MASK + 16
+    # elements); molecules predicting PAD/MASK types score as invalid
+    from reed_tpu.data.molecule import CORE_ATOMS, OTHER_ATOMS
+
+    if args.atom_decoder:
+        decoder = tuple(args.atom_decoder.split(","))
+        first_real = 0
+    else:
+        decoder = tuple(["H", "H"] + CORE_ATOMS + OTHER_ATOMS)
+        first_real = 2
+    metrics_eval = MoleculeMetrics(atom_decoder=decoder,
+                                   dataset=args.dataset or "qm9")
+    # stand-in scored for molecules with PAD/MASK predictions: two distant
+    # H atoms -> zero bonds -> unstable, disconnected, invalid
+    invalid_mol = (np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]], np.float32),
+                   np.array([decoder.index("H")] * 2))
+    coord_std = args.coord_std if args.coord_std is not None else 1.0
+
+    cfg_i = cfg.__class__(**{**cfg.__dict__, "integrator": cfg.integrator.
+                             __class__(**{**cfg.integrator.__dict__,
+                                          "steps": args.num_steps})})
+    trainer.cfg = cfg_i
+
+    replicates = []
+    for rep_i in range(args.n_replicates):
+        rng_np = np.random.default_rng(1000 + rep_i)
+        mols = []
+        done = 0
+        while done < args.n_samples:
+            bs = min(cfg.batch_size, args.n_samples - done)
+            sizes = rng_np.integers(args.n_atoms_min,
+                                    args.n_atoms_max + 1, size=bs)
+            mask = (np.arange(cfg.max_atoms)[None, :] < sizes[:, None]
+                    ).astype(np.float32)
+            prior = trainer.sample_prior(rng_np, mask)
+            rep_v = (jnp.asarray(rng_np.standard_normal(
+                (bs, cfg.d_rep)).astype(np.float32))
+                if cfg.d_rep and cfg.cond_type != "none" else None)
+            final = trainer.generate(
+                state.ema_params, jax.random.PRNGKey(rep_i * 1000 + done),
+                prior, rep=rep_v, sampling_strategy=args.sampling_strategy)
+            coords = np.asarray(jax.device_get(final["coords"])) * coord_std
+            types = np.argmax(np.asarray(jax.device_get(final["atomics"])),
+                              axis=-1)
+            for b in range(bs):
+                t_b = types[b, :sizes[b]]
+                if (t_b < first_real).any() or (t_b >= len(decoder)).any():
+                    mols.append(invalid_mol)
+                else:
+                    mols.append((coords[b, :sizes[b]], t_b))
+            done += bs
+        replicates.append(metrics_eval.evaluate(mols))
+
+    summary = {}
+    for k in replicates[0]:
+        vals = [r[k] for r in replicates]
+        summary[k] = float(np.mean(vals))
+        summary[f"{k}_std"] = float(np.std(vals))
+    summary.update(n_replicates=args.n_replicates, n_samples=args.n_samples,
+                   num_steps=args.num_steps)
+    print(json.dumps(summary))
+
+
 def eval_molecule(args):
     """Two-stage molecule eval: RDM-sampled (or synthetic Gt) reps ->
     EDM sampling -> stability/validity metrics with replicate mean/std
@@ -1122,6 +1220,9 @@ def main(argv=None):
     p.set_defaults(fn=train_molecule_edm)
 
     p = sub.add_parser("train-molecule-semla")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="reference torch SemlaFlow/Lightning checkpoint to "
+                        "warm-start from (converted on load)")
     p.add_argument("--batch-cost", type=int, default=4096,
                    help="padded-atom budget per batch (reference batch_cost)")
     p.add_argument("--dataset", default="qm9", choices=["qm9", "geom"],
@@ -1161,6 +1262,26 @@ def main(argv=None):
                         "converted on load")
     _add_common(p)
     p.set_defaults(fn=eval_protein)
+
+    p = sub.add_parser("eval-semla")
+    p.add_argument("--n-samples", type=int, default=64)
+    p.add_argument("--n-replicates", type=int, default=3)
+    p.add_argument("--num-steps", type=int, default=100)
+    p.add_argument("--n-atoms-min", type=int, default=8)
+    p.add_argument("--n-atoms-max", type=int, default=24)
+    p.add_argument("--sampling-strategy", default="linear",
+                   choices=["linear", "log"])
+    p.add_argument("--dataset", default="qm9", choices=["qm9", "geom"])
+    p.add_argument("--coord-std", type=float, default=None,
+                   help="unscale generated coords by the dataset coord std")
+    p.add_argument("--atom-decoder", default=None,
+                   help="comma-separated element symbols per vocab index "
+                        "(default: the semla vocab)")
+    p.add_argument("--ref-ckpt", default=None,
+                   help="reference torch SemlaFlow/Lightning checkpoint "
+                        "(converted on load; dims via --set)")
+    _add_common(p)
+    p.set_defaults(fn=eval_semla)
 
     p = sub.add_parser("eval-molecule")
     p.add_argument("--n-replicates", type=int, default=3)
