@@ -834,6 +834,50 @@ def eval_protein(args):
     }, indent=2))
 
 
+def compute_fid(args):
+    """In-repo FID between two inputs, each either a stats npz ({mu,sigma})
+    or an ADM-style image npz (uint8 [N,H,W,3], key arr_0/samples/images —
+    the file generate-image writes). Image inputs need --inception-npz
+    (converted InceptionV3 pool3 weights, encoders/inception.py).
+
+    The reference delegates this statistic to the external ADM suite
+    (image/README.md:49-63); here it is owned end to end."""
+    from reed_tpu.eval.frechet import compute_activation_stats, frechet_distance
+
+    feature_fn = None
+
+    def stats_for(path):
+        nonlocal feature_fn
+        data = np.load(path)
+        if "mu" in data.files and "sigma" in data.files:
+            return {"mu": data["mu"], "sigma": data["sigma"]}
+        key = next(k for k in ("arr_0", "samples", "images")
+                   if k in data.files)
+        images = data[key]
+        if feature_fn is None:
+            if not args.inception_npz:
+                raise SystemExit(
+                    "--inception-npz required to featurize image npz "
+                    "(convert once: encoders/inception.py "
+                    "load_torch_inception_checkpoint + save_variables_npz)")
+            from reed_tpu.encoders.inception import (load_variables_npz,
+                                                     make_feature_fn)
+
+            feature_fn = make_feature_fn(load_variables_npz(
+                args.inception_npz))
+        stats = compute_activation_stats(images, feature_fn,
+                                         batch_size=args.batch_size)
+        if args.save_stats:
+            out = os.path.splitext(path)[0] + "_stats.npz"
+            np.savez(out, **stats)
+            print(f"saved stats to {out}")
+        return stats
+
+    s1, s2 = stats_for(args.ref), stats_for(args.gen)
+    fid = frechet_distance(s1["mu"], s1["sigma"], s2["mu"], s2["sigma"])
+    print(json.dumps({"fid": fid}))
+
+
 def eval_semla(args):
     """SemlaFlow generation eval: N replicates x M molecules integrated
     from the prior, scored with stability/validity metrics, mean+/-std
@@ -1262,6 +1306,17 @@ def main(argv=None):
                         "converted on load")
     _add_common(p)
     p.set_defaults(fn=eval_protein)
+
+    p = sub.add_parser("compute-fid")
+    p.add_argument("ref", help="reference stats npz ({mu,sigma}) or image npz")
+    p.add_argument("gen", help="generated stats npz or image npz")
+    p.add_argument("--inception-npz", default=None,
+                   help="converted InceptionV3 pool3 weights npz "
+                        "(needed for image npz inputs)")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--save-stats", action="store_true",
+                   help="save computed stats next to each image npz")
+    p.set_defaults(fn=compute_fid)
 
     p = sub.add_parser("eval-semla")
     p.add_argument("--n-samples", type=int, default=64)

@@ -244,9 +244,19 @@ def mol_hash(mol) -> int:
     return _hash32(str(sorted(ids[-n:])))
 
 
-def fcd(gen_smiles, ref_smiles) -> Optional[float]:
-    """Frechet ChemNet Distance; needs fcd_torch + its weights
-    (molsets.py:6). None when unavailable in this zero-egress image."""
+def fcd(gen_smiles, ref_smiles, chemnet_params=None) -> Optional[float]:
+    """Frechet ChemNet Distance (reference: molsets.py:6, fcd_torch).
+
+    The LSTM + statistic are owned in-repo (eval/chemnet.py, torch-parity
+    tested): pass `chemnet_params` (a converted ChemNet state dict via
+    chemnet.convert_torch_chemnet) to run without fcd_torch — only the
+    pretrained weight file itself is env-gated in this zero-egress image.
+    Falls back to fcd_torch when importable; None when neither is
+    available."""
+    if chemnet_params is not None:
+        from reed_tpu.eval.chemnet import fcd_score
+
+        return fcd_score(chemnet_params, list(gen_smiles), list(ref_smiles))
     if not HAVE_FCD:
         return None
     from fcd_torch import FCD
