@@ -9,7 +9,11 @@ saves `.txt` + mean-pooled last-hidden-state `.npy`; stage 2 re-embeds
 
 Host-side torch/transformers (this is offline preprocessing — the training
 pipeline only reads the cached `.npy`s). Gated on model weights being
-available locally (zero-egress environments precompute elsewhere).
+available locally (zero-egress environments precompute elsewhere). The
+transformers calls live behind `QwenBackend`; the stage functions own only
+prompt/file-layout logic and accept any backend (tests stub it), so the
+`text_embeds_*/<stem>.npy` layout stays pinned to what
+data/image.CachedLatentDataset reads.
 
 CLI:
   python -m reed_tpu.data.captioning caption --data-dir D --model-path P
@@ -22,55 +26,103 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 PROMPT = ("Describe this image concisely in one sentence, focusing on the "
           "main object and scene.")
 
-
-def _load_qwen(model_path: str):
-    import torch
-    from transformers import AutoProcessor, Qwen2VLForConditionalGeneration
-
-    model = Qwen2VLForConditionalGeneration.from_pretrained(
-        model_path, torch_dtype=torch.float32, device_map="cpu")
-    processor = AutoProcessor.from_pretrained(model_path)
-    return model, processor
+# reference TEXT_Z_DIM_DICT (image/train.py:40-43)
+TEXT_Z_DIMS = {"qwen2b": 1536, "qwen7b": 3584}
 
 
-def caption(data_dir: str, model_path: str, out_subdir: str = "captions",
-            embed_subdir: str = "text_embeds_qwen2b_last",
-            limit: Optional[int] = None):
-    """Stage 1 (reference: captioning.py:48-150)."""
-    import torch
+def mean_pool(hidden: np.ndarray) -> np.ndarray:
+    """[T, D] token hidden states -> [D] pooled embedding (the reference
+    mean-pools over the sequence, captioning.py:106-150)."""
+    hidden = np.asarray(hidden, np.float32)
+    assert hidden.ndim == 2, hidden.shape
+    return hidden.mean(axis=0)
+
+
+def build_messages(text: str) -> List[Dict]:
+    """Chat-template message list for an (image, text) pair."""
+    return [{"role": "user", "content": [
+        {"type": "image"}, {"type": "text", "text": text}]}]
+
+
+def layer_dir_name(prefix: str, k: int) -> str:
+    """Hidden-layer k -> output subdir (the reference's
+    text_embeds_qwen7b_l{0,1,15,last} layout)."""
+    return f"{prefix}_l{'last' if k == -1 else k}"
+
+
+def read_labels(data_dir: str) -> List:
+    with open(os.path.join(data_dir, "dataset.json")) as f:
+        return json.load(f)["labels"]
+
+
+class QwenBackend:
+    """transformers-coupled part: load Qwen2-VL, caption / embed images."""
+
+    def __init__(self, model_path: str):
+        import torch
+        from transformers import AutoProcessor, Qwen2VLForConditionalGeneration
+
+        self.torch = torch
+        self.model = Qwen2VLForConditionalGeneration.from_pretrained(
+            model_path, torch_dtype=torch.float32, device_map="cpu")
+        self.processor = AutoProcessor.from_pretrained(model_path)
+
+    def caption(self, img) -> Tuple[str, np.ndarray]:
+        """-> (caption text, pooled last-hidden-state of the prompt pass)."""
+        text = self.processor.apply_chat_template(
+            build_messages(PROMPT), add_generation_prompt=True)
+        inputs = self.processor(text=[text], images=[img],
+                                return_tensors="pt")
+        with self.torch.no_grad():
+            out = self.model.generate(**inputs, max_new_tokens=64,
+                                      output_hidden_states=True,
+                                      return_dict_in_generate=True)
+            caption_ids = out.sequences[0][inputs["input_ids"].shape[1]:]
+            caption_text = self.processor.decode(caption_ids,
+                                                 skip_special_tokens=True)
+            hidden = out.hidden_states[0][-1][0].float().numpy()
+        return caption_text, mean_pool(hidden)
+
+    def embed(self, img, caption_text: str,
+              layers: List[int]) -> Dict[int, np.ndarray]:
+        """joint (image, caption) forward -> {layer: pooled}."""
+        text = self.processor.apply_chat_template(
+            build_messages(caption_text))
+        inputs = self.processor(text=[text], images=[img],
+                                return_tensors="pt")
+        with self.torch.no_grad():
+            out = self.model(**inputs, output_hidden_states=True)
+        return {k: mean_pool(out.hidden_states[k][0].float().numpy())
+                for k in layers}
+
+
+def _open_image(data_dir: str, fname: str):
     from PIL import Image
 
-    model, processor = _load_qwen(model_path)
-    with open(os.path.join(data_dir, "dataset.json")) as f:
-        labels = json.load(f)["labels"]
+    return Image.open(os.path.join(data_dir, "images", fname))
+
+
+def caption(data_dir: str, model_path: Optional[str] = None,
+            out_subdir: str = "captions",
+            embed_subdir: str = "text_embeds_qwen2b_last",
+            limit: Optional[int] = None, backend=None):
+    """Stage 1 (reference: captioning.py:48-150)."""
+    backend = backend if backend is not None else QwenBackend(model_path)
+    labels = read_labels(data_dir)
     os.makedirs(os.path.join(data_dir, out_subdir), exist_ok=True)
     os.makedirs(os.path.join(data_dir, embed_subdir), exist_ok=True)
 
     for i, (fname, _) in enumerate(labels):
         if limit is not None and i >= limit:
             break
-        img = Image.open(os.path.join(data_dir, "images", fname))
-        messages = [{"role": "user", "content": [
-            {"type": "image"}, {"type": "text", "text": PROMPT}]}]
-        text = processor.apply_chat_template(messages,
-                                             add_generation_prompt=True)
-        inputs = processor(text=[text], images=[img], return_tensors="pt")
-        with torch.no_grad():
-            out = model.generate(**inputs, max_new_tokens=64,
-                                 output_hidden_states=True,
-                                 return_dict_in_generate=True)
-            caption_ids = out.sequences[0][inputs["input_ids"].shape[1]:]
-            caption_text = processor.decode(caption_ids,
-                                            skip_special_tokens=True)
-            hidden = out.hidden_states[0][-1][0]  # last layer, prompt pass
-            pooled = hidden.mean(0).float().numpy()
+        caption_text, pooled = backend.caption(_open_image(data_dir, fname))
         stem = os.path.splitext(fname)[0]
         with open(os.path.join(data_dir, out_subdir, stem + ".txt"),
                   "w") as f:
@@ -78,21 +130,17 @@ def caption(data_dir: str, model_path: str, out_subdir: str = "captions",
         np.save(os.path.join(data_dir, embed_subdir, stem + ".npy"), pooled)
 
 
-def embed(data_dir: str, model_path: str, layers: List[int] = (0, 1, 15, -1),
+def embed(data_dir: str, model_path: Optional[str] = None,
+          layers: List[int] = (0, 1, 15, -1),
           caption_subdir: str = "captions", prefix: str = "text_embeds_qwen7b",
-          limit: Optional[int] = None):
+          limit: Optional[int] = None, backend=None):
     """Stage 2 (reference: captioning_embedding.py:107-152): joint
     (image, caption) forward, mean-pool selected hidden layers."""
-    import torch
-    from PIL import Image
-
-    model, processor = _load_qwen(model_path)
-    with open(os.path.join(data_dir, "dataset.json")) as f:
-        labels = json.load(f)["labels"]
+    backend = backend if backend is not None else QwenBackend(model_path)
+    labels = read_labels(data_dir)
     dirs = {}
     for k in layers:
-        name = f"{prefix}_l{'last' if k == -1 else k}"
-        dirs[k] = os.path.join(data_dir, name)
+        dirs[k] = os.path.join(data_dir, layer_dir_name(prefix, k))
         os.makedirs(dirs[k], exist_ok=True)
 
     for i, (fname, _) in enumerate(labels):
@@ -102,16 +150,10 @@ def embed(data_dir: str, model_path: str, layers: List[int] = (0, 1, 15, -1),
         with open(os.path.join(data_dir, caption_subdir,
                                stem + ".txt")) as f:
             caption_text = f.read().strip()
-        img = Image.open(os.path.join(data_dir, "images", fname))
-        messages = [{"role": "user", "content": [
-            {"type": "image"}, {"type": "text", "text": caption_text}]}]
-        text = processor.apply_chat_template(messages)
-        inputs = processor(text=[text], images=[img], return_tensors="pt")
-        with torch.no_grad():
-            out = model(**inputs, output_hidden_states=True)
-        for k in layers:
-            pooled = out.hidden_states[k][0].mean(0).float().numpy()
-            np.save(os.path.join(dirs[k], stem + ".npy"), pooled)
+        pooled = backend.embed(_open_image(data_dir, fname), caption_text,
+                               list(layers))
+        for k, vec in pooled.items():
+            np.save(os.path.join(dirs[k], stem + ".npy"), vec)
 
 
 def main(argv=None):

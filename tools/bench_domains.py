@@ -22,12 +22,37 @@ import jax
 import jax.numpy as jnp
 
 
+PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v5p": 459.0,
+               "v4": 275.0, "v6e": 918.0}
+
+
+def _peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, tf in PEAK_TFLOPS.items():
+        if key in kind:
+            return tf
+    return 197.0
+
+
+def _step_flops(trainer, state, batch, rng):
+    """XLA's own FLOP count for the compiled train step (exact for the
+    program actually measured — no hand-derived sums to drift)."""
+    try:
+        compiled = trainer.train_step.lower(state, batch, rng).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
 def _time_steps(trainer, steps: int = 10, rng=None):
     state = trainer.init_state()
     batch = trainer.synthetic_batch(jax.random.PRNGKey(0))
     batch = jax.device_put(batch, trainer.batch_sharding)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     with trainer.mesh:
+        flops = _step_flops(trainer, state, batch, rng)
         state, m = trainer.train_step(state, batch, rng)
         float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
@@ -36,7 +61,14 @@ def _time_steps(trainer, steps: int = 10, rng=None):
         loss = float(jax.device_get(m["loss"]))
         dt = time.perf_counter() - t0
     assert jnp.isfinite(loss), loss
-    return dt / steps
+    per_step = dt / steps
+    perf = {}
+    if flops is not None:
+        tflops_sec = flops / per_step / 1e12
+        perf = {"step_gflops": round(flops / 1e9, 2),
+                "tflops_per_sec": round(tflops_sec, 2),
+                "mfu": round(tflops_sec / _peak_tflops(), 4)}
+    return per_step, perf
 
 
 def bench_protein():
@@ -46,10 +78,10 @@ def bench_protein():
     # reference token budget 20,000 / L=256 ~ 78 chains; bs 64 fits v5e
     cfg = ProteinTrainConfig(batch_size=64, max_len=256,
                              mesh=MeshConfig(data=1))
-    per_step = _time_steps(ProteinTrainer(cfg))
+    per_step, perf = _time_steps(ProteinTrainer(cfg))
     toks = cfg.batch_size * cfg.max_len
     return {"domain": "protein-fmif", "unit": "tokens/sec",
-            "value": round(toks / per_step, 1),
+            "value": round(toks / per_step, 1), **perf,
             "config": "hidden 128, 3+3 layers, k30, L256, bs64"}
 
 
@@ -66,9 +98,9 @@ def bench_semla():
     trainer = SemlaTrainer(cfg)
     trainer.synthetic_batch = lambda rng=None: trainer.example_batch(
         cfg.batch_size, max_n=cfg.max_atoms)
-    per_step = _time_steps(trainer)
+    per_step, perf = _time_steps(trainer)
     return {"domain": "molecule-semla", "unit": "molecules/sec",
-            "value": round(cfg.batch_size / per_step, 1),
+            "value": round(cfg.batch_size / per_step, 1), **perf,
             "config": "d_model 384, 12 layers, 64 coord sets, 72 atoms, bs56"}
 
 
@@ -78,9 +110,9 @@ def bench_edm():
                                              MoleculeEDMTrainer)
 
     cfg = MoleculeEDMConfig(batch_size=64, mesh=MeshConfig(data=1))
-    per_step = _time_steps(MoleculeEDMTrainer(cfg))
+    per_step, perf = _time_steps(MoleculeEDMTrainer(cfg))
     return {"domain": "molecule-edm", "unit": "molecules/sec",
-            "value": round(cfg.batch_size / per_step, 1),
+            "value": round(cfg.batch_size / per_step, 1), **perf,
             "config": "hidden 256, 9 blocks, QM9 n<=29, bs64"}
 
 
@@ -90,9 +122,9 @@ def bench_multiflow():
 
     cfg = MultiflowTrainConfig(batch_size=8, max_len=128,
                                mesh=MeshConfig(data=1))
-    per_step = _time_steps(MultiflowTrainer(cfg))
+    per_step, perf = _time_steps(MultiflowTrainer(cfg))
     return {"domain": "multiflow-se3", "unit": "residues/sec",
-            "value": round(cfg.batch_size * cfg.max_len / per_step, 1),
+            "value": round(cfg.batch_size * cfg.max_len / per_step, 1), **perf,
             "config": "IPA 256/128 x 6 blocks, L128, bs8"}
 
 
@@ -101,9 +133,9 @@ def bench_rdm():
     from reed_tpu.train.rdm import RDMTrainConfig, RDMTrainer
 
     cfg = RDMTrainConfig(batch_size=256, mesh=MeshConfig(data=1))
-    per_step = _time_steps(RDMTrainer(cfg))
+    per_step, perf = _time_steps(RDMTrainer(cfg))
     return {"domain": "rdm", "unit": "reps/sec",
-            "value": round(cfg.batch_size / per_step, 1),
+            "value": round(cfg.batch_size / per_step, 1), **perf,
             "config": "SimpleMLP 1536x18, bs256"}
 
 
@@ -118,6 +150,12 @@ def main():
                  f"{type(e).__name__}: {str(e)[:120]}"}
         results.append(r)
         print(json.dumps(r), flush=True)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DOMAINS.json")
+    with open(out, "w") as f:
+        json.dump({"device": jax.devices()[0].device_kind,
+                   "peak_tflops": _peak_tflops(),
+                   "results": results}, f, indent=2)
     return results
 
 
