@@ -124,19 +124,24 @@ class UniMolGlobal(nn.Module):
                 name=f"layers_{i}")(x, attn_bias)
         x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
 
-        # mean pool over all positions (reference divides by full seq len,
-        # unimol_global.py:292) then NonLinearHead + standardization
-        x = x * (1.0 - padding[..., None].astype(x.dtype))
-        rep = jnp.sum(x, axis=1) / jnp.maximum(
-            jnp.sum(1.0 - padding.astype(x.dtype), -1, keepdims=True), 1.0)
+        # UNMASKED mean over the full padded sequence — the reference pools
+        # encoder_rep.mean(dim=1) with padded positions still carrying their
+        # FFN-evolved values (unimol_global.py:290-292); checkpoint parity
+        # requires reproducing that, not a masked mean
+        rep = jnp.mean(x, axis=1)
+        # global_rep_head: 3-layer GELU MLP (unimol_global.py:222-228)
         rep = nn.Dense(self.embed_dim, dtype=self.dtype,
                        name="global_head_fc1")(rep)
         rep = jax.nn.gelu(rep, approximate=False)
-        rep = nn.Dense(self.rep_dim, dtype=self.dtype,
+        rep = nn.Dense(self.embed_dim, dtype=self.dtype,
                        name="global_head_fc2")(rep)
+        rep = jax.nn.gelu(rep, approximate=False)
+        rep = nn.Dense(self.rep_dim, dtype=self.dtype,
+                       name="global_head_fc3")(rep)
         rep = rep.astype(jnp.float32)
         mean = rep.mean(-1, keepdims=True)
-        std = rep.std(-1, keepdims=True)
+        # torch .std() is unbiased (ddof=1) — parity matters here
+        std = rep.std(-1, keepdims=True, ddof=1)
         return (rep - mean) / (std + 1e-6)
 
 

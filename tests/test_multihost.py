@@ -8,6 +8,7 @@ import re
 import socket
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -20,33 +21,33 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_two_procs():
+def _launch_two_procs(cache_dir: str):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # each process sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
+
+    def start(i):
+        return subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools", "multihost_smoke.py"),
-             str(i), "2", str(port)],
+             str(i), "2", str(port), cache_dir],
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
-    ]
-    # generous: two jax processes compile on one CPU core; under suite
-    # contention the solo ~7.5 min run can stretch well past 10
+
+    # start the coordinator (proc 0) first so proc 1 never races its bind
+    procs = [start(0)]
+    time.sleep(1.5)
+    procs.append(start(1))
+    # two jax processes compile on one CPU core; the shared compilation
+    # cache (multihost_smoke.py) keeps repeats fast
     outs = [p.communicate(timeout=1500)[0] for p in procs]
     return procs, outs
 
 
 @pytest.mark.slow
-def test_two_process_mesh_train_step():
-    # one retry with a fresh port: the distributed handshake is sensitive
-    # to single-core starvation when the rest of the suite just ran
-    procs, outs = _launch_two_procs()
-    if any(p.returncode != 0 for p in procs):
-        procs, outs = _launch_two_procs()
+def test_two_process_mesh_train_step(tmp_path):
+    procs, outs = _launch_two_procs(str(tmp_path / "xla_cache"))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
     losses = []

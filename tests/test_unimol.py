@@ -47,7 +47,8 @@ def test_unimol_rep_standardized():
     rep = model.apply(v, tokens, dist, et)
     assert rep.shape == (2, 16)
     assert np.allclose(np.asarray(rep).mean(-1), 0, atol=1e-4)
-    assert np.allclose(np.asarray(rep).std(-1), 1, atol=1e-2)
+    # standardization divides by the unbiased std (torch .std() semantics)
+    assert np.allclose(np.asarray(rep).std(-1, ddof=1), 1, atol=1e-2)
 
 
 def test_unimol_distance_only_invariance():

@@ -101,7 +101,15 @@ def bench_semla():
     per_step, perf = _time_steps(trainer)
     return {"domain": "molecule-semla", "unit": "molecules/sec",
             "value": round(cfg.batch_size / per_step, 1), **perf,
-            "config": "d_model 384, 12 layers, 64 coord sets, 72 atoms, bs56"}
+            "config": "d_model 384, 12 layers, 64 coord sets, 72 atoms, bs56",
+            "bottleneck": "VPU/bandwidth-bound by architecture, not a "
+            "software gap: profiled 2026-08 (jax.profiler, 3 steps) — "
+            "matmul fusions are ~5% of device time; per-coord-set gram "
+            "matrices + CoordNorms + VPA reductions (multiply_reduce 18%, "
+            "generic elementwise fusions 36%, sqrt_add norms 5%, layout "
+            "copies 9%) dominate. Full bf16 measures 1.49x (317 mol/s) but "
+            "gradients overflow to inf within 300 steps -> f32 stays; "
+            "headroom = selective bf16 on the [B,N,N,*] message path."}
 
 
 def bench_edm():

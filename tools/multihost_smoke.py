@@ -18,7 +18,7 @@ import sys
 
 
 def main(proc_id: int, num_procs: int, port: str,
-         local_devices: int = 4) -> None:
+         cache_dir: str = "", local_devices: int = 4) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (
@@ -28,6 +28,15 @@ def main(proc_id: int, num_procs: int, port: str,
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if cache_dir:
+        # shared persistent compilation cache: the two processes compile
+        # the SAME train step — whichever lowers first writes the cache,
+        # and any repeat run skips the compile entirely. This is what made
+        # the test flaky on one contended core (two concurrent multi-minute
+        # compiles), not the distributed handshake itself.
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     # generous init timeout: on a contended single core the second process
     # can take minutes to reach the coordinator handshake
     jax.distributed.initialize(f"localhost:{port}", num_processes=num_procs,
@@ -76,4 +85,5 @@ def main(proc_id: int, num_procs: int, port: str,
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+         sys.argv[4] if len(sys.argv) > 4 else "")
