@@ -947,12 +947,32 @@ def eval_semla(args):
             coords = np.asarray(jax.device_get(final["coords"])) * coord_std
             types = np.argmax(np.asarray(jax.device_get(final["atomics"])),
                               axis=-1)
+            pred_bonds = (np.argmax(np.asarray(
+                jax.device_get(final["bonds"])), axis=-1)
+                if final.get("bonds") is not None else None)
             for b in range(bs):
                 t_b = types[b, :sizes[b]]
                 if (t_b < first_real).any() or (t_b >= len(decoder)).any():
                     mols.append(invalid_mol)
                 else:
                     mols.append((coords[b, :sizes[b]], t_b))
+                if args.out and rep_i == 0:
+                    # predicted-bond SDF + xyz (reference: semlaflow
+                    # predict.py writes sampled molecules to SDF)
+                    from reed_tpu.eval.visualize import (save_sdf_file,
+                                                         save_xyz_file)
+
+                    idx = done + b
+                    n_b = sizes[b]
+                    save_xyz_file(os.path.join(
+                        args.out, f"mol_{idx:04d}.xyz"),
+                        coords[b, :n_b], types[b, :n_b], decoder)
+                    if pred_bonds is not None:
+                        save_sdf_file(os.path.join(
+                            args.out, f"mol_{idx:04d}.sdf"),
+                            coords[b, :n_b], types[b, :n_b],
+                            pred_bonds[b, :n_b, :n_b], decoder,
+                            name=f"mol_{idx}")
             done += bs
         replicates.append(metrics_eval.evaluate(mols))
 
@@ -1335,6 +1355,9 @@ def main(argv=None):
     p.add_argument("--ref-ckpt", default=None,
                    help="reference torch SemlaFlow/Lightning checkpoint "
                         "(converted on load; dims via --set)")
+    p.add_argument("--out", default=None,
+                   help="write replicate-0 samples as predicted-bond .sdf "
+                        "+ .xyz files here")
     _add_common(p)
     p.set_defaults(fn=eval_semla)
 

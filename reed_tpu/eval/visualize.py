@@ -120,6 +120,36 @@ def save_molecules_xyz(out_dir: str, molecules: List, prefix: str = "mol",
                       pos, types, atom_decoder)
 
 
+def save_sdf_file(path: str, positions: np.ndarray, atom_types: Sequence[int],
+                  bond_orders: np.ndarray,
+                  atom_decoder: Sequence[str] = QM9_ATOM_DECODER,
+                  name: str = "mol"):
+    """Write one molecule as a V2000 molfile/.sdf with explicit bonds
+    (reference counterpart: molecule/semlaflow/predict.py writes sampled
+    molecules to SDF via RDKit; this writer needs no RDKit). bond_orders
+    [N,N] symmetric int (0 = none, 1/2/3 = bond order)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    positions = np.asarray(positions)
+    bond_orders = np.asarray(bond_orders)
+    bonds = [(i, j, int(bond_orders[i, j]))
+             for i in range(len(atom_types))
+             for j in range(i + 1, len(atom_types))
+             if bond_orders[i, j] > 0]
+    with open(path, "w") as f:
+        f.write(f"{name}\n  reed_tpu\n\n")
+        f.write(f"{len(atom_types):>3d}{len(bonds):>3d}  0  0  0  0  0  0  "
+                f"0  0999 V2000\n")
+        for pos, t in zip(positions, atom_types):
+            f.write(f"{pos[0]:>10.4f}{pos[1]:>10.4f}{pos[2]:>10.4f} "
+                    f"{atom_decoder[int(t)]:<3s} 0  0  0  0  0  0  0  0  "
+                    f"0  0  0  0\n")
+        for i, j, order in bonds:
+            # V2000 bond types: 1/2/3 = single/double/triple, 4 = aromatic
+            f.write(f"{i + 1:>3d}{j + 1:>3d}{min(order, 4):>3d}  0  0  0  0\n")
+        f.write("M  END\n$$$$\n")
+    return path
+
+
 def write_pdb_backbone(path: str, coords: np.ndarray,
                        sequence: Optional[str] = None,
                        chain: str = "A"):

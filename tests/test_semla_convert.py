@@ -380,7 +380,7 @@ def test_eval_semla_ref_ckpt(tmp_path, capsys):
         f"ema_gen.module.{k}": v for k, v in tmodel.state_dict().items()}},
         path)
 
-    main(["eval-semla", "--ref-ckpt", path,
+    main(["eval-semla", "--ref-ckpt", path, "--out", str(tmp_path / "sdf"),
           "--n-samples", "4", "--n-replicates", "1", "--num-steps", "4",
           "--n-atoms-min", "3", "--n-atoms-max", "6",
           "--atom-decoder", "H,C,N,O,F,S",
@@ -399,6 +399,12 @@ def test_eval_semla_ref_ckpt(tmp_path, capsys):
     assert "loaded reference torch checkpoint" in text
     out = _json.loads(text[text.index("{"):])
     assert 0.0 <= out["validity"] <= 1.0
+    import os
+
+    sdfs = [f for f in os.listdir(tmp_path / "sdf") if f.endswith(".sdf")]
+    assert len(sdfs) == 4
+    body = open(tmp_path / "sdf" / sorted(sdfs)[0]).read()
+    assert "V2000" in body and body.rstrip().endswith("$$$$")
 
 
 def test_semla_convert_parity():
