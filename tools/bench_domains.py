@@ -34,30 +34,27 @@ def _peak_tflops() -> float:
     return 197.0
 
 
-def _step_flops(trainer, state, batch, rng):
-    """XLA's own FLOP count for the compiled train step (exact for the
-    program actually measured — no hand-derived sums to drift)."""
-    try:
-        compiled = trainer.train_step.lower(state, batch, rng).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        return float(ca["flops"])
-    except Exception:
-        return None
-
-
 def _time_steps(trainer, steps: int = 10, rng=None):
     state = trainer.init_state()
     batch = trainer.synthetic_batch(jax.random.PRNGKey(0))
     batch = jax.device_put(batch, trainer.batch_sharding)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     with trainer.mesh:
-        flops = _step_flops(trainer, state, batch, rng)
-        state, m = trainer.train_step(state, batch, rng)
+        # AOT-compile once and reuse the SAME executable for FLOP counting
+        # (XLA cost analysis — exact for the program measured, no
+        # hand-derived sums) and for the timed steps
+        compiled = trainer.train_step.lower(state, batch, rng).compile()
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops = float(ca["flops"])
+        except Exception:
+            flops = None
+        state, m = compiled(state, batch, rng)
         float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, m = trainer.train_step(state, batch, rng)
+            state, m = compiled(state, batch, rng)
         loss = float(jax.device_get(m["loss"]))
         dt = time.perf_counter() - t0
     assert jnp.isfinite(loss), loss
