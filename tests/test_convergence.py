@@ -32,6 +32,17 @@ def test_semla_stability_improves():
     assert res["final"]["mol_stable"] > 0.05
 
 
+def test_image_class_fidelity_improves():
+    from tools.convergence_image import main
+
+    res = main(["--tiny", "--cpu", "--steps", "300",
+                "--out", "/tmp/conv_image_test.json"])
+    assert res["step0"]["class_accuracy"] < 0.4
+    assert res["final"]["class_accuracy"] > res["step0"]["class_accuracy"]
+    assert res["final"]["mean_dist_to_class_mean"] < \
+        res["step0"]["mean_dist_to_class_mean"] * 0.8
+
+
 def test_edm_stability_improves():
     from tools.convergence_edm import main
 
