@@ -35,6 +35,7 @@ def _fake_pdb_dataset(root, n_clusters=3, length=24):
         f.write("")
 
 
+@pytest.mark.slow
 def test_eval_protein_real_validation_set(tmp_path, capsys):
     """eval-protein --data-dir scores sequence recovery on the real
     valid split (reference: train_fmif.py:464-540)."""
@@ -56,6 +57,7 @@ def test_eval_protein_real_validation_set(tmp_path, capsys):
     assert len(out["sample_0"]) > 0
 
 
+@pytest.mark.slow
 def test_eval_molecule_reps_from_disk(tmp_path, capsys):
     """eval-molecule --data-dir feeds GtSampler with dataset reps
     (reference: rep_samplers.py:159-226)."""

@@ -26,6 +26,7 @@ def _mol_dataset(path, n=24, seed=0):
     return mols
 
 
+@pytest.mark.slow
 def test_train_semla_cli_real_data(tmp_path):
     mols = _mol_dataset(str(tmp_path / "train.rsmol"))
     np.save(tmp_path / "reps.npy",
@@ -46,6 +47,7 @@ def test_train_semla_cli_real_data(tmp_path):
     assert any(d.isdigit() for d in os.listdir(ckpt))  # orbax step dirs
 
 
+@pytest.mark.slow
 def test_train_edm_cli_real_data(tmp_path):
     rng = np.random.default_rng(0)
     m, src_n = 24, 10
@@ -66,6 +68,7 @@ def test_train_edm_cli_real_data(tmp_path):
           "--dp", "1", "--fsdp", "1", "--tp", "1"])
 
 
+@pytest.mark.slow
 def test_train_multiflow_cli_real_data(tmp_path):
     from tests.test_protein_data import _write_fake_pdb
 

@@ -15,6 +15,7 @@ COND = MoleculeEDMConfig(
     edm=EDMConfig(timesteps=30, in_node_nf=5), mesh=MeshConfig(data=1))
 
 
+@pytest.mark.slow
 def test_conditional_edm_trains_and_samples():
     trainer = MoleculeEDMTrainer(COND)
     state = trainer.init_state()

@@ -227,6 +227,7 @@ def test_egnn_conversion_with_dynamics_prefix_and_ddp():
     assert gamma is not None and gamma["l2_w"].shape == (1, 32)
 
 
+@pytest.mark.slow
 def test_eval_molecule_cli_with_ref_ckpt(tmp_path, capsys):
     """eval-molecule --ref-ckpt samples from a converted reference-format
     torch checkpoint end to end."""
@@ -286,6 +287,7 @@ def test_gamma_network_conversion_parity():
     np.testing.assert_allclose(np.asarray(got), ref_gamma, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_edm_warm_start_from_ref_ckpt(tmp_path, capsys):
     """train-molecule-edm --ref-ckpt warm-starts training from a converted
     reference checkpoint."""

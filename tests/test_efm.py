@@ -205,6 +205,7 @@ def test_sample_gradient_refinement_runs():
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.slow
 def test_trainer_fm_steps_decrease_loss():
     cfg = MoleculeEDMConfig(
         num_atom_types=4, max_nodes=8, hidden_nf=32, n_layers=1,
@@ -225,6 +226,7 @@ def test_trainer_fm_steps_decrease_loss():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_trainer_fm_sample():
     cfg = MoleculeEDMConfig(
         num_atom_types=4, max_nodes=8, hidden_nf=32, n_layers=1,
@@ -244,6 +246,7 @@ def test_trainer_fm_sample():
     assert np.allclose(np.asarray(x), np.asarray(x2))
 
 
+@pytest.mark.slow
 def test_decode_equivariance_with_egnn_dynamics():
     """EFM decoding with the EGNN field is E(3)-equivariant: rotating the
     initial coords rotates the decoded coords, features unchanged."""

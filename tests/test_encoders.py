@@ -84,6 +84,7 @@ def test_text_z_dims():
     assert TEXT_Z_DIM_DICT["qwen7b"] == 3584
 
 
+@pytest.mark.slow
 def test_in_loop_encode_features(tmp_path):
     """FrozenEncoder.encode runs the jitted forward on raw uint8 pixels with
     params threaded as jit args (in-loop path, reference image/train.py:
@@ -114,6 +115,7 @@ def test_in_loop_encode_features(tmp_path):
     np.testing.assert_allclose(np.asarray(z), np.asarray(z2), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_torch_checkpoint_to_train_step_end_to_end(tmp_path):
     """The full zero-egress encoder story: a torch DINOv2-format checkpoint
     FILE -> convert_torch_checkpoint -> load_encoders -> in-loop

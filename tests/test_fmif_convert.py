@@ -246,6 +246,7 @@ def test_fmif_conversion_parity():
                                ref_st.numpy()[real], atol=5e-4)
 
 
+@pytest.mark.slow
 def test_eval_protein_cli_with_ref_ckpt(tmp_path, capsys):
     """eval-protein --ref-ckpt samples sequences from a converted
     reference-format fmif checkpoint (epoch_last.pt layout)."""
@@ -293,6 +294,7 @@ def test_fmif_conversion_cls_layers():
     assert params["cls_layers_dec_1"]["kernel"].shape == (H, H)
 
 
+@pytest.mark.slow
 def test_train_protein_warm_start_from_ref_ckpt(tmp_path, capsys):
     """train-protein --ref-ckpt warm-starts and keeps training (loss
     finite across steps; migration from the reference's torch ckpts)."""

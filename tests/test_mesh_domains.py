@@ -24,6 +24,7 @@ def _assert_sharded_step(trainer, batch):
     assert any(any(ax is not None for ax in spec) for spec in specs)
 
 
+@pytest.mark.slow
 def test_protein_mesh():
     from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
 
@@ -38,6 +39,7 @@ def test_protein_mesh():
                                                  length=16))
 
 
+@pytest.mark.slow
 def test_semla_mesh():
     from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
 
@@ -51,6 +53,7 @@ def test_semla_mesh():
     _assert_sharded_step(trainer, batch)
 
 
+@pytest.mark.slow
 def test_edm_mesh():
     from reed_tpu.train.molecule_edm import (MoleculeEDMConfig,
                                              MoleculeEDMTrainer)
@@ -63,6 +66,7 @@ def test_edm_mesh():
                          trainer.synthetic_batch(jax.random.PRNGKey(0)))
 
 
+@pytest.mark.slow
 def test_multiflow_mesh():
     from reed_tpu.train.multiflow import (MultiflowTrainConfig,
                                           MultiflowTrainer)
@@ -75,6 +79,7 @@ def test_multiflow_mesh():
                          trainer.synthetic_batch(jax.random.PRNGKey(0)))
 
 
+@pytest.mark.slow
 def test_rdm_mesh():
     from reed_tpu.train.rdm import RDMTrainConfig, RDMTrainer
 

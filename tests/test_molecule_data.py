@@ -112,6 +112,7 @@ def test_property_classifier_invariance_and_training():
     assert np.allclose(np.asarray(pred), np.asarray(pred_rot), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_semla_epoch_batches_trains():
     """Real-data path: .rsmol molecules -> bucketed OT-interpolated batches
     -> SemlaTrainer.train_step, loss finite and decreasing over an epoch."""
@@ -148,6 +149,7 @@ def test_semla_epoch_batches_trains():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_edm_epoch_batches_trains():
     """Real-data path: QM9 EDM npz layout -> dense batches ->
     MoleculeEDMTrainer.train_step."""

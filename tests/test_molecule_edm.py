@@ -67,6 +67,7 @@ def _tiny_model_and_batch():
     return trainer, state, batch
 
 
+@pytest.mark.slow
 def test_egnn_equivariance():
     """Rotating inputs rotates velocity output; features invariant."""
     cfg = TINY
@@ -101,6 +102,7 @@ def test_egnn_equivariance():
                        np.asarray(out[:, :, 3:]), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_edm_loss_finite_and_masked():
     trainer, state, batch = _tiny_model_and_batch()
     with trainer.mesh:
@@ -108,6 +110,7 @@ def test_edm_loss_finite_and_masked():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_edm_train_loss_decreases():
     trainer, state, batch = _tiny_model_and_batch()
     losses = []
@@ -119,6 +122,7 @@ def test_edm_train_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_edm_sampling_shapes_and_com():
     trainer, state, batch = _tiny_model_and_batch()
     x, h_cat, h_int = trainer.sample(
@@ -135,6 +139,7 @@ def test_edm_sampling_shapes_and_com():
     assert np.allclose(sums * nm, nm)
 
 
+@pytest.mark.slow
 def test_edm_cfg_sampling_runs():
     trainer, state, batch = _tiny_model_and_batch()
     x, h_cat, h_int = trainer.sample(state.params, jax.random.PRNGKey(2), 4,
@@ -154,6 +159,7 @@ def test_gamma_network_monotonic_and_pinned():
     assert float(g[-1]) == pytest.approx(10.0, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_edm_with_learned_gamma():
     from reed_tpu.diffusion.edm import EnVariationalDiffusion, GammaNetwork
 

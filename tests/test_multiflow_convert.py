@@ -336,6 +336,7 @@ class TFlowModel(tnn.Module):
         }
 
 
+@pytest.mark.slow
 def test_multiflow_convert_parity():
     torch.manual_seed(0)
     tmodel = TFlowModel().eval()
@@ -417,6 +418,7 @@ def test_multiflow_convert_parity():
         assert np.max(np.abs(a - bt)) < tol, (key, np.max(np.abs(a - bt)))
 
 
+@pytest.mark.slow
 def test_eval_multiflow_ref_ckpt(tmp_path, capsys):
     """eval-multiflow --ref-ckpt loads a (Lightning-prefixed) reference
     checkpoint file end-to-end through the converter."""

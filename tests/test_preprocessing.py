@@ -44,6 +44,7 @@ def test_convert_writes_layout(tmp_path):
     assert os.path.exists(dst / "images" / labels[0][0])
 
 
+@pytest.mark.slow
 def test_vae_shapes_tiny():
     # tiny channel config to keep CPU test fast
     enc = VAEEncoder(base_ch=8, ch_mult=(1, 2), num_res=1, z_ch=2)

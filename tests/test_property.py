@@ -54,6 +54,7 @@ def test_property_epoch_batches_label_alignment():
         assert "charges" not in b
 
 
+@pytest.mark.slow
 def test_property_trainer_loss_decreases():
     trainer = PropertyTrainer(TINY)
     state = trainer.init_state()
@@ -69,6 +70,7 @@ def test_property_trainer_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_property_predict_denormalizes():
     cfg = PropertyTrainConfig(num_atom_types=4, max_nodes=8, hidden_nf=16,
                               n_layers=1, batch_size=4, mean=10.0, mad=2.0,
@@ -136,6 +138,7 @@ def test_train_property_cli_real_data(tmp_path):
     assert snap["mad"] > 0  # normalizer computed from the data
 
 
+@pytest.mark.slow
 def test_eval_conditional_cli(tmp_path, capsys):
     data = _qm9_like()
     np.savez(tmp_path / "train.npz", **data)
@@ -154,6 +157,7 @@ def test_eval_conditional_cli(tmp_path, capsys):
     assert np.isfinite(out["mae"])
 
 
+@pytest.mark.slow
 def test_eval_conditional_sweep_cli(tmp_path, capsys):
     data = _qm9_like()
     np.savez(tmp_path / "train.npz", **data)
@@ -183,6 +187,7 @@ def test_eval_conditional_sweep_cli(tmp_path, capsys):
     assert vals == pytest.approx(targets, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_conditional_eval_restores_trained_classifier(tmp_path, capsys):
     """The documented recipe loop: train-property --ckpt-dir, then
     eval-conditional --classifier-ckpt restores that classifier."""

@@ -100,6 +100,7 @@ def test_loss_repr_perfect_alignment():
         assert np.isclose(float(loss), -1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pmpnn_forward_shapes():
     from reed_tpu.train.protein import (ProteinTrainConfig, build_model,
                                         synthetic_protein_batch)
@@ -125,6 +126,7 @@ def test_pmpnn_forward_shapes():
     assert np.allclose(np.exp(log_probs).sum(-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_protein_train_step_loss_decreases():
     from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
     from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer

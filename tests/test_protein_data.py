@@ -128,6 +128,7 @@ def test_rigids_from_backbone_orthonormal():
     assert np.allclose(rotmats[:, :, 0], v, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multiflow_epoch_batches_trains(tmp_path):
     """Real-data path: PDB files -> frame extraction -> MultiflowTrainer
     train_step."""

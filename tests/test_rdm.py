@@ -60,6 +60,7 @@ def test_oracle_p_sample_loop_recovers_mean():
     assert np.allclose(np.asarray(out).mean(0), np.asarray(mu), atol=0.1)
 
 
+@pytest.mark.slow
 def test_rdm_training_loss_decreases():
     trainer = RDMTrainer(TINY)
     state = trainer.init_state()

@@ -139,6 +139,7 @@ def test_rdm_sampling_with_converted_params():
     assert np.isfinite(np.asarray(reps)).all()
 
 
+@pytest.mark.slow
 def test_eval_molecule_with_converted_rdm(tmp_path, capsys):
     """eval-molecule --rdm-ref-ckpt: two-stage sampling with a converted
     reference RDM as the DDIM rep sampler."""

@@ -1,5 +1,7 @@
 """AF2 residue constants, atom37 construction, SE(3) batch-OT prior."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,6 +118,7 @@ def test_batch_ot_trans_prior_reduces_cost():
     assert d_coupled < d_fresh
 
 
+@pytest.mark.slow
 def test_multiflow_trains_with_batch_ot():
     from reed_tpu.core.config import MeshConfig, OptimConfig
     from reed_tpu.diffusion.se3 import SE3InterpolantConfig

@@ -102,6 +102,7 @@ def test_corrupt_aatypes_masking():
     assert abs(frac - 0.75) < 0.1
 
 
+@pytest.mark.slow
 def test_multiflow_train_and_sample():
     from reed_tpu.train.multiflow import (MultiflowTrainConfig,
                                           MultiflowTrainer)

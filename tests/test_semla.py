@@ -93,6 +93,7 @@ def _trainer():
     return SemlaTrainer(TINY)
 
 
+@pytest.mark.slow
 def test_semla_train_step_decreases():
     trainer = _trainer()
     state = trainer.init_state()
@@ -107,6 +108,7 @@ def test_semla_train_step_decreases():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_semla_model_equivariance():
     """Predicted coords rotate with input; type logits invariant."""
     trainer = _trainer()
@@ -136,6 +138,7 @@ def test_semla_model_equivariance():
     assert np.allclose(np.asarray(out_rot[1]), np.asarray(out[1]), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_semla_generation_runs():
     trainer = _trainer()
     state = trainer.init_state()
@@ -200,6 +203,7 @@ def test_integrator_linear_strategy_moves_toward_prediction():
     assert float(out["atomics"][..., 3].mean()) > 1.0 / v
 
 
+@pytest.mark.slow
 def test_full_size_molecule_no_nan():
     """A molecule whose size equals max_atoms must not NaN: the size
     embedding table is max_atoms+1 entries (out-of-range jnp.take fills

@@ -23,6 +23,7 @@ def _inputs(rng, b=2, n=6, vocab=5, n_bonds=4):
     (VanillaEgnnGenerator, dict(rep_alignment=True, align_depth=(1,))),
     (EqgatGenerator, dict(n_equi_feats=4)),
 ])
+@pytest.mark.slow
 def test_alt_generator_shapes_and_equivariance(cls, kwargs):
     coords, atomics, bonds, mask, rep = _inputs(0)
     model = cls(d_model=24, vocab_size=5, n_atom_feats=5, d_edge=8,
@@ -53,6 +54,7 @@ def test_alt_generator_shapes_and_equivariance(cls, kwargs):
                        atol=2e-3)
 
 
+@pytest.mark.slow
 def test_vanilla_alignment_projectors():
     coords, atomics, bonds, mask, rep = _inputs(1)
     model = VanillaEgnnGenerator(d_model=24, vocab_size=5, n_atom_feats=5,
@@ -66,6 +68,7 @@ def test_vanilla_alignment_projectors():
     assert len(zs) == 2 and zs[0].shape == (2, 8)
 
 
+@pytest.mark.slow
 def test_semla_trainer_arch_switch():
     from reed_tpu.core.config import MeshConfig, OptimConfig
     from reed_tpu.diffusion.molecule_fm import (IntegratorConfig,

@@ -368,6 +368,7 @@ class TSemlaGenerator(tnn.Module):
         return pred_coords, type_logits, edge_logits, charge_logits, zs
 
 
+@pytest.mark.slow
 def test_eval_semla_ref_ckpt(tmp_path, capsys):
     """eval-semla --ref-ckpt loads a Lightning MolecularCFM-style
     checkpoint (ema_gen.module. prefix) end-to-end through the converter."""
@@ -407,6 +408,7 @@ def test_eval_semla_ref_ckpt(tmp_path, capsys):
     assert "V2000" in body and body.rstrip().endswith("$$$$")
 
 
+@pytest.mark.slow
 def test_semla_convert_parity():
     torch.manual_seed(0)
     tmodel = TSemlaGenerator().eval()

@@ -22,6 +22,7 @@ def _init(model, train=True):
     return variables, (x, t, y)
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_zs():
     model = SiT(**TINY)
     variables, (x, t, y) = _init(model)

@@ -40,6 +40,7 @@ def test_cutoff_and_rbf():
     assert np.allclose(np.asarray(out[3:]), 0.0)  # beyond cutoff
 
 
+@pytest.mark.slow
 def test_et_scalar_invariance_vector_equivariance():
     z, pos, mask = _inputs()
     model = TorchMDET(hidden=32, num_layers=2, num_rbf=16, num_heads=4)
@@ -57,6 +58,7 @@ def test_et_scalar_invariance_vector_equivariance():
     assert np.allclose(np.asarray(x_t), np.asarray(x), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_masking_isolates_fake_atoms():
     z, pos, _ = _inputs(b=1, n=6)
     mask = jnp.array([[1, 1, 1, 1, 0, 0]], jnp.float32)

@@ -32,6 +32,7 @@ def _tiny_trainer(mesh_cfg=MeshConfig()):
     return ImageTrainer(cfg)
 
 
+@pytest.mark.slow
 def test_single_device_loss_decreases():
     trainer = _tiny_trainer(MeshConfig(data=1, fsdp=1, tensor=1))
     state = trainer.init_state()
@@ -46,6 +47,7 @@ def test_single_device_loss_decreases():
     assert int(state.step) == 10
 
 
+@pytest.mark.slow
 def test_dp_fsdp_tp_mesh_runs():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     trainer = _tiny_trainer(MeshConfig(data=2, fsdp=2, tensor=2))
@@ -62,6 +64,7 @@ def test_dp_fsdp_tp_mesh_runs():
                if spec is not None)
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     """Same batch + same rng => (near-)identical metrics on 1 vs 8 devices."""
     t1 = _tiny_trainer(MeshConfig(data=1, fsdp=1, tensor=1))
@@ -77,6 +80,7 @@ def test_dp_matches_single_device():
                       rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ema_tracks_params():
     trainer = _tiny_trainer(MeshConfig(data=1, fsdp=1, tensor=1))
     state = trainer.init_state()
@@ -91,6 +95,7 @@ def test_ema_tracks_params():
     assert float(jnp.abs(e - p0).max()) < float(jnp.abs(p - p0).max())
 
 
+@pytest.mark.slow
 def test_curriculum_inside_step():
     cfg = TINY.__class__(**{
         **TINY.__dict__,
@@ -111,6 +116,7 @@ def test_curriculum_inside_step():
                       float(metrics["proj_loss"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_accumulation():
     """With accum_steps=k, params change only every k steps and the k-step
     update matches averaged gradients."""
@@ -135,6 +141,7 @@ def test_grad_accumulation():
     assert not np.allclose(p1, p2)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_ema_and_curriculum_gating():
     """EMA must not decay on accumulation-only micro-steps, and curriculum
     schedules must see the optimizer step (micro // k), matching the
@@ -169,6 +176,7 @@ def test_grad_accumulation_ema_and_curriculum_gating():
     assert float(m2["diffusion_decay"]) > 0.0
 
 
+@pytest.mark.slow
 def test_ema_every_k_matches_per_step_average():
     """ema_every=k with decay^k must track the same average as per-step EMA
     (same fixed batch => params converge identically)."""

@@ -62,6 +62,7 @@ def test_evaluate_replicates_aggregates():
     assert len(out["all"]["validity"]) == 3
 
 
+@pytest.mark.slow
 def test_fid_pixel_npz_with_vae_decode(tmp_path):
     """generate_samples + VAE decode_fn writes 8x-upsampled uint8 pixels
     (the ADM-suite contract, reference image/generate.py:156-171)."""

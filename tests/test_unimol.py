@@ -40,6 +40,7 @@ def test_gaussian_layer_shapes():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_unimol_rep_standardized():
     tokens, dist, et = _inputs()
     model = _model()
