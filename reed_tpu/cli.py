@@ -1346,7 +1346,10 @@ def main(argv=None):
     p.add_argument("--n-atoms-max", type=int, default=24)
     p.add_argument("--sampling-strategy", default="linear",
                    choices=["linear", "log"])
-    p.add_argument("--dataset", default="qm9", choices=["qm9", "geom"])
+    # the semla vocab is GEOM-scale (P/S/Br/...); the qm9 bond tables only
+    # cover H/C/N/O/F pairs, so the geom predictor (check_exists semantics,
+    # reference bond_analyze.py:135-144) is the correct default here
+    p.add_argument("--dataset", default="geom", choices=["qm9", "geom"])
     p.add_argument("--coord-std", type=float, default=None,
                    help="unscale generated coords by the dataset coord std")
     p.add_argument("--atom-decoder", default=None,

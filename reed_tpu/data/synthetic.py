@@ -186,3 +186,107 @@ def protein_rule_batch(rng: np.random.Generator, batch_size: int,
         "repr_structure": np.zeros((batch_size, length, structure_dim),
                                    np.float32),
     }
+
+
+# --------------------------------------------------------------------------
+# Ideal-helix codesign rule (multiflow SE(3))
+# --------------------------------------------------------------------------
+
+HELIX_RADIUS = 2.3      # A: canonical alpha-helix Ca ring radius
+HELIX_RISE = 1.5        # A per residue
+HELIX_TURN = np.deg2rad(100.0)
+# consecutive Ca-Ca distance of the trace below:
+HELIX_CA_CA = float(np.sqrt((2 * HELIX_RADIUS
+                             * np.sin(HELIX_TURN / 2)) ** 2 + HELIX_RISE ** 2))
+
+
+def helix_ca_trace(length: int) -> np.ndarray:
+    """Canonical alpha-helix Ca trace [L,3], zero-CoM; consecutive Ca-Ca
+    distance HELIX_CA_CA ~= 3.85 A (the protein-backbone virtual bond)."""
+    i = np.arange(length, dtype=np.float32)
+    ca = np.stack([HELIX_RADIUS * np.cos(HELIX_TURN * i),
+                   HELIX_RADIUS * np.sin(HELIX_TURN * i),
+                   HELIX_RISE * i], axis=-1)
+    return (ca - ca.mean(axis=0, keepdims=True)).astype(np.float32)
+
+
+def frames_from_ca(ca: np.ndarray) -> np.ndarray:
+    """Gram-Schmidt backbone frames [L,3,3] from a Ca trace [L,3]: column 0
+    points along the chain, column 1 is the orthogonalized backward
+    direction, column 2 their cross product (det +1). Rotating the trace by
+    R rotates every frame by the same R, so the rule is SO(3)-equivariant —
+    a flow model scored on rotation loss can learn it exactly."""
+    nxt = np.roll(ca, -1, axis=0)
+    prv = np.roll(ca, 1, axis=0)
+    e1 = nxt - ca
+    e1 = e1 / np.linalg.norm(e1, axis=-1, keepdims=True)
+    v2 = prv - ca
+    v2 = v2 - (v2 * e1).sum(-1, keepdims=True) * e1
+    e2 = v2 / np.maximum(np.linalg.norm(v2, axis=-1, keepdims=True), 1e-8)
+    e3 = np.cross(e1, e2)
+    fr = np.stack([e1, e2, e3], axis=-1).astype(np.float32)
+    # chain ends have no valid (prv, nxt) pair — copy the adjacent interior
+    # frame (still a deterministic, equivariant function of the trace)
+    fr[0] = fr[1]
+    fr[-1] = fr[-2]
+    return fr
+
+
+def helix_codesign_batch(rng: np.random.Generator, batch_size: int,
+                         length: int) -> Dict[str, np.ndarray]:
+    """Randomly-rotated ideal helices with the deterministic residue rule
+    aatype[i] = i mod 20 — the learnable target for the multiflow SE(3)
+    codesign convergence run. A trained model must (a) place consecutive
+    Ca's HELIX_CA_CA apart and recover the helix shape to low Kabsch RMSD,
+    (b) read the sequence rule out of res_idx (recovery -> 1; untrained
+    ~1/20). Same keys as train/multiflow.MultiflowTrainer.synthetic_batch
+    (reference: multiflow/data/interpolant.py corrupt_batch inputs)."""
+    ca0 = helix_ca_trace(length)
+    fr0 = frames_from_ca(ca0)
+    rots = _random_rotations(rng, batch_size)
+    trans = np.einsum("bij,lj->bli", rots, ca0).astype(np.float32)
+    rotmats = np.einsum("bij,ljk->blik", rots, fr0).astype(np.float32)
+    aat = np.broadcast_to(np.arange(length) % 20, (batch_size, length))
+    return {
+        "trans_1": trans,
+        "rotmats_1": rotmats,
+        "aatypes_1": aat.astype(np.int64).copy(),
+        "res_mask": np.ones((batch_size, length), np.float32),
+        "res_idx": np.broadcast_to(
+            np.arange(length, dtype=np.int32)[None],
+            (batch_size, length)).copy(),
+    }
+
+
+# --------------------------------------------------------------------------
+# Class-conditional Gaussian reps (RDM latent DDPM)
+# --------------------------------------------------------------------------
+
+RDM_CLASS_SIZES = (10, 14, 18, 22)   # num_atoms values keying the classes
+RDM_CLASS_SEP = 2.0                  # |mu_k|; pairwise distance 2*sqrt(2)
+RDM_CLASS_SIGMA = 0.25               # >> 11-sigma class separation
+
+
+def rdm_class_means(channels: int) -> np.ndarray:
+    """Deterministic well-separated class means [K,C]: orthonormal
+    directions (QR of a fixed-seed Gaussian) scaled to RDM_CLASS_SEP."""
+    k = len(RDM_CLASS_SIZES)
+    g = np.random.default_rng(1234).standard_normal((channels, k))
+    q, _ = np.linalg.qr(g)
+    return (RDM_CLASS_SEP * q.T[:k]).astype(np.float32)
+
+
+def rdm_gaussian_batch(rng: np.random.Generator, batch_size: int,
+                       channels: int) -> Dict[str, np.ndarray]:
+    """Class-conditional Gaussian reps keyed on num_atoms: class k draws
+    rep ~ N(mu_k, RDM_CLASS_SIGMA^2 I) with orthogonal means — the
+    learnable target for the RDM convergence run. A trained conditional
+    DDPM must place samples for class k around mu_k (nearest-mean accuracy
+    -> 1; untrained ~1/K) with the right spread."""
+    mus = rdm_class_means(channels)
+    k = rng.integers(0, len(RDM_CLASS_SIZES), size=batch_size)
+    rep = mus[k] + RDM_CLASS_SIGMA * rng.standard_normal(
+        (batch_size, channels)).astype(np.float32)
+    return {"rep": rep.astype(np.float32),
+            "num_atoms": np.asarray(RDM_CLASS_SIZES, np.int64)[k],
+            "class_idx": k}

@@ -168,22 +168,23 @@ class CoordAttention(nn.Module):
         coords = CoordNorm(self.n_coord_sets, norm=self.coord_norm,
                            name="coord_norm")(coord_sets, node_mask)
         # [B,S,N,3] -> project set dim S->P: [B,3,N,P]
-        c = jnp.transpose(coords, (0, 3, 2, 1))
-        proj = nn.Dense(p, use_bias=False, dtype=self.dtype,
-                        name="coord_proj")(c.astype(self.dtype))
+        # the coordinate-valued path stays f32 regardless of compute dtype:
+        # bf16 coords/updates destabilize training (measured: grad overflow
+        # within 300 steps) while bf16 on the feature/message path is safe
+        c = jnp.transpose(coords, (0, 3, 2, 1)).astype(jnp.float32)
+        proj = nn.Dense(p, use_bias=False, dtype=jnp.float32,
+                        name="coord_proj")(c)
         vec_dists = proj[:, :, :, None, :] - proj[:, :, None, :, :]  # [B,3,i,j,P]
-        lengths = safe_norm(vec_dists.astype(jnp.float32), axis=1,
-                            keepdims=True)
-        norm_dists = vec_dists / (lengths + self.eps).astype(vec_dists.dtype)
+        lengths = safe_norm(vec_dists, axis=1, keepdims=True)
+        norm_dists = vec_dists / (lengths + self.eps)
 
         attn_mask = _attn_mask_from_adj(adj_matrix)
         logits = messages.astype(jnp.float32) + attn_mask[..., None]
         attn = jax.nn.softmax(logits, axis=2)  # [B,i,j,P]
-        updates = jnp.einsum("bdijp,bijp->bdip", norm_dists,
-                             attn.astype(norm_dists.dtype))
+        updates = jnp.einsum("bdijp,bijp->bdip", norm_dists, attn)
         weights = jnp.sqrt(jnp.sum(attn ** 2, axis=2))  # [B,i,P]
-        updates = updates * weights[:, None].astype(updates.dtype)
-        out = nn.Dense(self.n_coord_sets, use_bias=False, dtype=self.dtype,
+        updates = updates * weights[:, None]
+        out = nn.Dense(self.n_coord_sets, use_bias=False, dtype=jnp.float32,
                        name="attn_proj")(updates)
         return jnp.transpose(out, (0, 3, 2, 1))  # [B,S,N,3]
 
@@ -216,18 +217,20 @@ class NodeFeedForward(nn.Module):
         h = nn.silu(h)
         out_node = nn.Dense(d, dtype=self.dtype, name="inv_fc2")(h)
 
-        # equivariant: invariant gates x projected coord sets
+        # equivariant: invariant gates x projected coord sets (gates may be
+        # low precision; the coordinate-valued path stays f32)
         gates = nn.Dense(p, dtype=self.dtype, name="equi_node_fc1")(node_feats)
         gates = nn.silu(gates)
         gates = nn.Dense(p, dtype=self.dtype, name="equi_node_fc2")(gates)
-        c = jnp.transpose(coord_sets, (0, 3, 2, 1))           # [B,3,N,S]
-        proj = nn.Dense(p, use_bias=False, dtype=self.dtype,
-                        name="equi_coord_proj")(c.astype(self.dtype))
+        gates = gates.astype(jnp.float32)
+        c = jnp.transpose(coord_sets, (0, 3, 2, 1)).astype(jnp.float32)
+        proj = nn.Dense(p, use_bias=False, dtype=jnp.float32,
+                        name="equi_coord_proj")(c)
         # outer product of invariant feats with projected sets, summed
         attn = gates[:, None, :, :, None] * proj[:, :, :, None, :]  # [B,3,N,P,P]
         attn = jnp.sum(attn, axis=-1)                          # [B,3,N,P]
         out_coords = nn.Dense(self.n_coord_sets, use_bias=False,
-                              dtype=self.dtype, name="equi_attn_proj")(attn)
+                              dtype=jnp.float32, name="equi_attn_proj")(attn)
         out_coords = jnp.transpose(out_coords, (0, 3, 2, 1))   # [B,S,N,3]
         return out_coords, out_node
 
@@ -431,8 +434,8 @@ class EquiInvDynamics(nn.Module):
             stacked = jnp.stack([coords, cond_coords], axis=-1)  # [B,N,3,2]
         else:
             stacked = coords[..., None]
-        sets = nn.Dense(self.n_coord_sets, use_bias=False, dtype=self.dtype,
-                        name="coord_proj")(stacked.astype(self.dtype))
+        sets = nn.Dense(self.n_coord_sets, use_bias=False, dtype=jnp.float32,
+                        name="coord_proj")(stacked.astype(jnp.float32))
         coords = jnp.transpose(sets, (0, 3, 1, 2))  # [B,S,N,3]
         mask_sets = jnp.broadcast_to(atom_mask[:, None, :],
                                      (atom_mask.shape[0], self.n_coord_sets,
@@ -477,7 +480,7 @@ class EquiInvDynamics(nn.Module):
 
         out_coords = CoordNorm(self.n_coord_sets, norm=self.coord_norm,
                                name="coord_norm")(coords, mask_sets)
-        out_coords = nn.Dense(1, use_bias=False, dtype=self.dtype,
+        out_coords = nn.Dense(1, use_bias=False, dtype=jnp.float32,
                               name="coord_head")(
             jnp.transpose(out_coords, (0, 2, 3, 1)))[..., 0]  # [B,N,3]
 

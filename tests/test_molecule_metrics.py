@@ -68,6 +68,25 @@ def test_metrics_aggregation():
     assert m["uniqueness"] == pytest.approx(2 / 3)
 
 
+def test_geom_vocab_with_phosphorus_does_not_crash():
+    """The semla vocab is GEOM-scale; pairs like P-P are absent from the
+    qm9 bond tables and must score bond order 0 via the geom predictor's
+    check_exists path instead of raising (regression: eval-semla KeyError
+    'P'; reference bond_analyze.py:135-144)."""
+    from reed_tpu.data.molecule import CORE_ATOMS, OTHER_ATOMS
+
+    decoder = tuple(["H", "H"] + CORE_ATOMS + OTHER_ATOMS)
+    p_idx = decoder.index("P")
+    mols = [(np.array([[0.0, 0, 0], [2.2, 0, 0], [1.1, 1.9, 0]], float),
+             np.array([p_idx, p_idx, decoder.index("Hg")])),
+            (WATER_POS, np.array([decoder.index(s)
+                                  for s in ("O", "H", "H")]))]
+    m = MoleculeMetrics(atom_decoder=decoder, dataset="geom").evaluate(mols)
+    assert 0.0 <= m["validity"] <= 1.0
+    # water is still recognized as stable through the geom path
+    assert m["atom_stable"] >= 0.5
+
+
 def test_distribution_nodes():
     rng = np.random.default_rng(0)
     d = DistributionNodes({5: 10.0, 9: 30.0})

@@ -87,10 +87,12 @@ def bench_semla():
     from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
 
     # GEOM-Drugs scale: 72-atom molecules, batch_cost 4096 ~ bs 56.
-    # f32: the CoordNorm/gram-matrix path overflows in bf16 on synthetic
-    # (unit-variance) coords — reference trains fp32 by default too
-    # (semlaflow/train.py precision opt-in).
+    # Mixed precision: bf16 on the feature/message path, f32 pinned on the
+    # coordinate-valued path inside the model (full bf16 overflows gradients
+    # within 300 steps; the mixed path trains to full validity — see
+    # CONVERGENCE_SEMLA_BF16.json).
     cfg = SemlaTrainConfig(max_atoms=72, batch_size=56, d_rep=512,
+                           compute_dtype="bfloat16",
                            mesh=MeshConfig(data=1))
     trainer = SemlaTrainer(cfg)
     trainer.synthetic_batch = lambda rng=None: trainer.example_batch(
@@ -98,15 +100,15 @@ def bench_semla():
     per_step, perf = _time_steps(trainer)
     return {"domain": "molecule-semla", "unit": "molecules/sec",
             "value": round(cfg.batch_size / per_step, 1), **perf,
-            "config": "d_model 384, 12 layers, 64 coord sets, 72 atoms, bs56",
+            "config": "d_model 384, 12 layers, 64 coord sets, 72 atoms, "
+            "bs56, bf16 features + f32 coords",
             "bottleneck": "VPU/bandwidth-bound by architecture, not a "
             "software gap: profiled 2026-08 (jax.profiler, 3 steps) — "
             "matmul fusions are ~5% of device time; per-coord-set gram "
-            "matrices + CoordNorms + VPA reductions (multiply_reduce 18%, "
+            "matrices + CoordNorms + VPU reductions (multiply_reduce 18%, "
             "generic elementwise fusions 36%, sqrt_add norms 5%, layout "
-            "copies 9%) dominate. Full bf16 measures 1.49x (317 mol/s) but "
-            "gradients overflow to inf within 300 steps -> f32 stays; "
-            "headroom = selective bf16 on the [B,N,N,*] message path."}
+            "copies 9%) dominate. Full bf16 (1.49x) overflows gradients; "
+            "mixed bf16-features/f32-coords is the stable middle path."}
 
 
 def bench_edm():
@@ -144,10 +146,13 @@ def bench_rdm():
             "config": "SimpleMLP 1536x18, bs256"}
 
 
-def main():
+def main(only=None):
+    benches = {"protein": bench_protein, "semla": bench_semla,
+               "edm": bench_edm, "multiflow": bench_multiflow,
+               "rdm": bench_rdm}
+    picked = [benches[k] for k in only] if only else list(benches.values())
     results = []
-    for fn in (bench_protein, bench_semla, bench_edm, bench_multiflow,
-               bench_rdm):
+    for fn in picked:
         try:
             r = fn()
         except Exception as e:  # report, keep going
@@ -155,14 +160,15 @@ def main():
                  f"{type(e).__name__}: {str(e)[:120]}"}
         results.append(r)
         print(json.dumps(r), flush=True)
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_DOMAINS.json")
-    with open(out, "w") as f:
-        json.dump({"device": jax.devices()[0].device_kind,
-                   "peak_tflops": _peak_tflops(),
-                   "results": results}, f, indent=2)
+    if not only:  # subset runs are exploratory — don't clobber the record
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_DOMAINS.json")
+        with open(out, "w") as f:
+            json.dump({"device": jax.devices()[0].device_kind,
+                       "peak_tflops": _peak_tflops(),
+                       "results": results}, f, indent=2)
     return results
 
 
 if __name__ == "__main__":
-    main()
+    main(only=sys.argv[1:] or None)

@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--integrator-steps", type=int, default=100)
     ap.add_argument("--n-eval", type=int, default=256)
     ap.add_argument("--out", default="CONVERGENCE_SEMLA.json")
+    ap.add_argument("--dtype", default="float32",
+                    help="compute dtype (bfloat16 validates the "
+                         "mixed-precision path: f32 coords, bf16 features)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args(argv)
@@ -94,6 +97,7 @@ def main(argv=None):
                                       n_bond_types=n_bond_types)),
         integrator=IntegratorConfig(steps=args.integrator_steps),
         batch_size=args.batch_size,
+        compute_dtype=args.dtype,
         optim=OptimConfig(lr=args.lr, grad_clip=1.0),
         # ema horizon ~1/(1-decay) steps must fit the run length for the
         # final_ema score to be meaningful (full runs are 2-5k steps)
@@ -171,6 +175,7 @@ def main(argv=None):
                    "layers": args.layers, "coord_sets": args.coord_sets,
                    "lr": args.lr,
                    "integrator_steps": args.integrator_steps,
+                   "dtype": args.dtype,
                    "n_eval": args.n_eval},
         "loss_curve": losses,
         "command": "python tools/convergence_semla.py"
