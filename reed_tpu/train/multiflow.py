@@ -68,6 +68,8 @@ class MultiflowTrainConfig:
     interpolant: SE3InterpolantConfig = SE3InterpolantConfig()
     batch_size: int = 4
     max_len: int = 128
+    curriculum: CurriculumConfig = CurriculumConfig(
+        proj_coeff=0.0, diffusion_warmup_steps=0)
     optim: OptimConfig = OptimConfig(lr=1e-4)
     mesh: MeshConfig = MeshConfig()
     compute_dtype: str = "float32"
@@ -170,9 +172,8 @@ class MultiflowTrainer:
             out = self.model.apply({"params": params}, noisy)
             return multiflow_losses(cfg, noisy, out)
 
-        curriculum = CurriculumConfig(proj_coeff=0.0,
-                                      diffusion_warmup_steps=0,
-                                      max_steps=cfg.optim.total_steps)
+        curriculum = CurriculumConfig(**{**cfg.curriculum.__dict__,
+                                         "max_steps": cfg.optim.total_steps})
         step_fn = make_train_step(loss_fn, self.optimizer, curriculum,
                                   accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)

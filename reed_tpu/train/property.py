@@ -47,6 +47,8 @@ class PropertyTrainConfig:
     mean: float = 0.0                    # property normalizer (train split)
     mad: float = 1.0
     batch_size: int = 96                 # reference --batch_size 96
+    curriculum: CurriculumConfig = CurriculumConfig(
+        proj_coeff=0.0, diffusion_warmup_steps=0)
     optim: OptimConfig = OptimConfig(lr=1e-3, weight_decay=1e-16,
                                      schedule="cosine", warmup_steps=0,
                                      total_steps=100_000)
@@ -75,9 +77,8 @@ class PropertyTrainer:
             loss = jnp.abs(pred - target).mean()
             return {"denoising_loss": loss, "proj_loss": jnp.zeros(())}
 
-        curriculum = CurriculumConfig(proj_coeff=0.0,
-                                      diffusion_warmup_steps=0,
-                                      max_steps=cfg.optim.total_steps)
+        curriculum = CurriculumConfig(**{**cfg.curriculum.__dict__,
+                                         "max_steps": cfg.optim.total_steps})
         step_fn = make_train_step(loss_fn, self.optimizer, curriculum,
                                   accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)

@@ -32,6 +32,8 @@ class RDMTrainConfig:
     max_nodes: int = 256
     dropout: float = 0.0
     rdm: RDMConfig = RDMConfig()
+    curriculum: CurriculumConfig = CurriculumConfig(
+        proj_coeff=0.0, diffusion_warmup_steps=0)
     batch_size: int = 128
     optim: OptimConfig = OptimConfig(lr=1e-4, weight_decay=0.005,
                                      schedule="cosine", warmup_steps=0,
@@ -80,9 +82,8 @@ class RDMTrainer:
                                            batch["num_atoms"]).mean()
             return {"denoising_loss": loss, "proj_loss": jnp.zeros(())}
 
-        curriculum = CurriculumConfig(proj_coeff=0.0,
-                                      diffusion_warmup_steps=0,
-                                      max_steps=cfg.optim.total_steps)
+        curriculum = CurriculumConfig(**{**cfg.curriculum.__dict__,
+                                         "max_steps": cfg.optim.total_steps})
         step_fn = make_train_step(loss_fn, self.optimizer, curriculum,
                                   accum_steps=cfg.optim.accum_steps)
         abstract_state = jax.eval_shape(self._init_state, self.init_rng)

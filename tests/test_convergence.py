@@ -50,3 +50,25 @@ def test_edm_stability_improves():
                 "--out", "/tmp/conv_edm_test.json"])
     assert res["step0"]["atom_stable"] < 0.1
     assert res["final"]["atom_stable"] > res["step0"]["atom_stable"] + 0.05
+
+
+def test_multiflow_codesign_improves():
+    from tools.convergence_multiflow import main
+
+    res = main(["--tiny", "--cpu", "--steps", "120",
+                "--out", "/tmp/conv_multiflow_test.json"])
+    assert res["step0"]["recovery"] < 0.25      # untrained ~ chance (0.05)
+    assert res["final"]["recovery"] > res["step0"]["recovery"] + 0.2
+    assert res["final"]["ca_rmsd"] < res["step0"]["ca_rmsd"] * 0.5
+    assert res["final"]["ca_bond_err"] < res["step0"]["ca_bond_err"] * 0.3
+
+
+def test_rdm_class_conditional_improves():
+    from tools.convergence_rdm import main
+
+    res = main(["--tiny", "--cpu", "--steps", "300",
+                "--out", "/tmp/conv_rdm_test.json"])
+    assert res["step0"]["class_acc"] < 0.5      # untrained ~ chance (0.25)
+    assert res["final"]["class_acc"] > 0.9
+    assert res["final"]["class_mean_err"] < \
+        res["step0"]["class_mean_err"] * 0.5
