@@ -72,14 +72,18 @@ def bench_protein():
     from reed_tpu.core.config import MeshConfig
     from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
 
-    # reference token budget 20,000 / L=256 ~ 78 chains; bs 64 fits v5e
+    # reference token budget 20,000 / L=256 ~ 78 chains; bs 64 fits v5e.
+    # bf16 layers with f32-pinned logits/log-softmax and coordinate/RBF
+    # featurization (the model already pins those): 1.19x over f32,
+    # trains to recovery 1.0 (CONVERGENCE_PROTEIN_BF16.json)
     cfg = ProteinTrainConfig(batch_size=64, max_len=256,
+                             compute_dtype="bfloat16",
                              mesh=MeshConfig(data=1))
     per_step, perf = _time_steps(ProteinTrainer(cfg))
     toks = cfg.batch_size * cfg.max_len
     return {"domain": "protein-fmif", "unit": "tokens/sec",
             "value": round(toks / per_step, 1), **perf,
-            "config": "hidden 128, 3+3 layers, k30, L256, bs64"}
+            "config": "hidden 128, 3+3 layers, k30, L256, bs64, bf16"}
 
 
 def bench_semla():
@@ -127,12 +131,15 @@ def bench_multiflow():
     from reed_tpu.core.config import MeshConfig
     from reed_tpu.train.multiflow import MultiflowTrainConfig, MultiflowTrainer
 
+    # bf16 on the IPA stack: 1.28x over f32, trains to recovery 1.0 /
+    # Ca RMSD 0.31 A — same quality as f32 (CONVERGENCE_MULTIFLOW_BF16.json)
     cfg = MultiflowTrainConfig(batch_size=8, max_len=128,
+                               compute_dtype="bfloat16",
                                mesh=MeshConfig(data=1))
     per_step, perf = _time_steps(MultiflowTrainer(cfg))
     return {"domain": "multiflow-se3", "unit": "residues/sec",
             "value": round(cfg.batch_size * cfg.max_len / per_step, 1), **perf,
-            "config": "IPA 256/128 x 6 blocks, L128, bs8"}
+            "config": "IPA 256/128 x 6 blocks, L128, bs8, bf16"}
 
 
 def bench_rdm():

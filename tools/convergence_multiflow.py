@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--sampler-steps", type=int, default=100)
     ap.add_argument("--n-eval", type=int, default=64)
     ap.add_argument("--out", default="CONVERGENCE_MULTIFLOW.json")
+    ap.add_argument("--dtype", default="float32",
+                    help="compute dtype (bfloat16 validates mixed "
+                         "precision on the IPA stack)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args(argv)
@@ -71,6 +74,7 @@ def main(argv=None):
     cfg = MultiflowTrainConfig(
         c_s=args.c_s, c_z=args.c_z, num_blocks=args.blocks,
         batch_size=args.batch_size, max_len=args.length,
+        compute_dtype=args.dtype,
         # single-motif target: the plain centered-Gaussian prior converges
         # fine without the batch-OT coupling, and keeps batches host-free
         interpolant=SE3InterpolantConfig(trans_batch_ot=False,
@@ -147,7 +151,8 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "config": {"batch_size": args.batch_size, "length": args.length,
                    "c_s": args.c_s, "c_z": args.c_z, "blocks": args.blocks,
-                   "lr": args.lr, "sampler_steps": args.sampler_steps,
+                   "lr": args.lr, "dtype": args.dtype,
+                   "sampler_steps": args.sampler_steps,
                    "n_eval": args.n_eval},
         "loss_curve": losses,
         "command": "python tools/convergence_multiflow.py"

@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--sampler-steps", type=int, default=200)
     ap.add_argument("--eval-batches", type=int, default=4)
     ap.add_argument("--out", default="CONVERGENCE_PROTEIN.json")
+    ap.add_argument("--dtype", default="float32",
+                    help="compute dtype (bfloat16 validates the mixed-"
+                         "precision path: f32 logits/coords, bf16 layers)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (for smoke tests)")
     ap.add_argument("--tiny", action="store_true",
@@ -70,6 +73,7 @@ def main(argv=None):
         single_dim=8, pair_dim=4, structure_dim=8,
         batch_size=args.batch_size,
         max_len=args.length,
+        compute_dtype=args.dtype,
         interpolant=MaskingInterpolantConfig(num_timesteps=args.sampler_steps),
         optim=OptimConfig(lr=args.lr, grad_clip=1.0),
         # ema horizon ~1/(1-decay) steps must fit the run length for the
@@ -134,6 +138,7 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "config": {"batch_size": args.batch_size, "length": args.length,
                    "hidden": args.hidden, "lr": args.lr,
+                   "dtype": args.dtype,
                    "sampler_steps": args.sampler_steps},
         "loss_curve": losses,
         "command": "python tools/convergence_protein.py"
