@@ -152,6 +152,37 @@ class NodeAttention(nn.Module):
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
 
+def _coord_attention_updates(proj, attn, eps):
+    """sum_j attn_ij * (x_i - x_j) / (|x_i - x_j| + eps), factored so the
+    rank-5 [B,3,N,N,P] difference tensor never materializes (TPU: ~3x less
+    HBM traffic on the dominant term, and the j-reductions become
+    contractions):
+
+      lengths via the gram identity |xi-xj|^2 = |xi|^2 + |xj|^2 - 2 xi.xj
+      w_ij = attn_ij / (|xi-xj| + eps)
+      sum_j w_ij (xi - xj) = xi * sum_j w_ij  -  sum_j w_ij xj
+
+    The i==j term contributes exactly zero in the difference form, but in
+    the factored form it appears as two large (~attn/eps) equal terms whose
+    float cancellation would inject noise — so the diagonal of w is zeroed
+    explicitly. Matches the direct formula to f32 reassociation error
+    (tests/test_semla.py::test_coord_attention_factored_matches_direct).
+
+    proj [B,3,N,P] f32, attn [B,i,j,P] f32 -> updates [B,3,N,P].
+    """
+    n = proj.shape[2]
+    sq = jnp.sum(proj * proj, axis=1)                      # [B,N,P]
+    inner = jnp.einsum("bdip,bdjp->bijp", proj, proj)      # [B,i,j,P]
+    dist2 = sq[:, :, None] + sq[:, None, :] - 2.0 * inner
+    # + 1e-12 inside the sqrt: same non-NaN-gradient-at-0 guard as
+    # safe_norm on the direct path
+    lengths = jnp.sqrt(jnp.maximum(dist2, 0.0) + 1e-12)    # [B,i,j,P]
+    w = attn / (lengths + eps)
+    w = w * (1.0 - jnp.eye(n, dtype=w.dtype))[None, :, :, None]
+    wsum = jnp.sum(w, axis=2)                              # [B,i,P]
+    return proj * wsum[:, None] - jnp.einsum("bijp,bdjp->bdip", w, proj)
+
+
 class CoordAttention(nn.Module):
     """Equivariant coordinate update via attention over normalized pairwise
     direction vectors (reference: semla.py:228-278)."""
@@ -174,14 +205,11 @@ class CoordAttention(nn.Module):
         c = jnp.transpose(coords, (0, 3, 2, 1)).astype(jnp.float32)
         proj = nn.Dense(p, use_bias=False, dtype=jnp.float32,
                         name="coord_proj")(c)
-        vec_dists = proj[:, :, :, None, :] - proj[:, :, None, :, :]  # [B,3,i,j,P]
-        lengths = safe_norm(vec_dists, axis=1, keepdims=True)
-        norm_dists = vec_dists / (lengths + self.eps)
 
         attn_mask = _attn_mask_from_adj(adj_matrix)
         logits = messages.astype(jnp.float32) + attn_mask[..., None]
         attn = jax.nn.softmax(logits, axis=2)  # [B,i,j,P]
-        updates = jnp.einsum("bdijp,bijp->bdip", norm_dists, attn)
+        updates = _coord_attention_updates(proj, attn, self.eps)
         weights = jnp.sqrt(jnp.sum(attn ** 2, axis=2))  # [B,i,P]
         updates = updates * weights[:, None]
         out = nn.Dense(self.n_coord_sets, use_bias=False, dtype=jnp.float32,
@@ -226,9 +254,12 @@ class NodeFeedForward(nn.Module):
         c = jnp.transpose(coord_sets, (0, 3, 2, 1)).astype(jnp.float32)
         proj = nn.Dense(p, use_bias=False, dtype=jnp.float32,
                         name="equi_coord_proj")(c)
-        # outer product of invariant feats with projected sets, summed
-        attn = gates[:, None, :, :, None] * proj[:, :, :, None, :]  # [B,3,N,P,P]
-        attn = jnp.sum(attn, axis=-1)                          # [B,3,N,P]
+        # outer product of invariant feats with projected sets, summed over
+        # the projected axis — (gates_p x proj_q).sum(q) is rank-1, so the
+        # [B,3,N,P,P] outer product collapses to gates * proj.sum(q)
+        # exactly (same contraction as the reference; verified against the
+        # torch-mini in tests/test_semla_convert.py)
+        attn = gates[:, None] * jnp.sum(proj, axis=-1, keepdims=True)  # [B,3,N,P]
         out_coords = nn.Dense(self.n_coord_sets, use_bias=False,
                               dtype=jnp.float32, name="equi_attn_proj")(attn)
         out_coords = jnp.transpose(out_coords, (0, 3, 2, 1))   # [B,S,N,3]

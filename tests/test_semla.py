@@ -109,6 +109,29 @@ def test_semla_train_step_decreases():
 
 
 @pytest.mark.slow
+def test_coord_attention_factored_matches_direct():
+    """The factored gram-trick update (no [B,3,N,N,P] tensor) must match
+    the direct pairwise-difference formula to f32 reassociation error,
+    including zero-coordinate (masked/fake) nodes and a masked-out pair."""
+    from reed_tpu.models.semla import _coord_attention_updates, safe_norm
+
+    rng = np.random.default_rng(0)
+    b, n, p, eps = 3, 10, 4, 1e-6
+    proj = jnp.asarray(rng.standard_normal((b, 3, n, p)), jnp.float32)
+    # last two nodes sit exactly at zero (padded atoms)
+    proj = proj.at[:, :, -2:, :].set(0.0)
+    logits = jnp.asarray(rng.standard_normal((b, n, n, p)), jnp.float32)
+    attn = jax.nn.softmax(logits, axis=2)
+
+    vec = proj[:, :, :, None, :] - proj[:, :, None, :, :]   # [B,3,i,j,P]
+    lengths = safe_norm(vec, axis=1, keepdims=True)
+    direct = jnp.einsum("bdijp,bijp->bdip", vec / (lengths + eps), attn)
+
+    factored = _coord_attention_updates(proj, attn, eps)
+    np.testing.assert_allclose(np.asarray(factored), np.asarray(direct),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_semla_model_equivariance():
     """Predicted coords rotate with input; type logits invariant."""
     trainer = _trainer()

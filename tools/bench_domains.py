@@ -105,14 +105,17 @@ def bench_semla():
     return {"domain": "molecule-semla", "unit": "molecules/sec",
             "value": round(cfg.batch_size / per_step, 1), **perf,
             "config": "d_model 384, 12 layers, 64 coord sets, 72 atoms, "
-            "bs56, bf16 features + f32 coords",
-            "bottleneck": "VPU/bandwidth-bound by architecture, not a "
-            "software gap: profiled 2026-08 (jax.profiler, 3 steps) — "
-            "matmul fusions are ~5% of device time; per-coord-set gram "
-            "matrices + CoordNorms + VPU reductions (multiply_reduce 18%, "
-            "generic elementwise fusions 36%, sqrt_add norms 5%, layout "
-            "copies 9%) dominate. Full bf16 (1.49x) overflows gradients; "
-            "mixed bf16-features/f32-coords is the stable middle path."}
+            "bs56, bf16 features + f32 coords, factored coord attention",
+            "bottleneck": "VPU/bandwidth-bound by architecture (small "
+            "matmuls, pairwise geometry): r2 profile showed matmul fusions "
+            "~5% of device time. r3 lifted 213.5 -> 411 mol/s (1.92x) by "
+            "(a) bf16 features + f32-pinned coords, (b) factoring the "
+            "pairwise-difference coord attention through the gram identity "
+            "so the rank-5 [B,3,N,N,P] tensor never materializes, (c) "
+            "collapsing the rank-1 feedforward outer product — both "
+            "algebra-exact (tests pin them to the direct formulas). Full "
+            "bf16 overflows gradients; mixed precision is the stable "
+            "middle path (CONVERGENCE_SEMLA_BF16.json)."}
 
 
 def bench_edm():
