@@ -1,0 +1,87 @@
+"""Capture a device trace of one domain's train step and print the top
+self-time ops (grouped) — the workflow used to settle the semla bottleneck.
+
+Usage: python tools/profile_step.py protein [outdir]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def make_trainer(domain: str):
+    from reed_tpu.core.config import MeshConfig
+
+    if domain == "protein":
+        from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
+        return ProteinTrainer(ProteinTrainConfig(
+            batch_size=64, max_len=256, compute_dtype="bfloat16",
+            mesh=MeshConfig(data=1)))
+    if domain == "edm":
+        from reed_tpu.train.molecule_edm import (MoleculeEDMConfig,
+                                                 MoleculeEDMTrainer)
+        return MoleculeEDMTrainer(MoleculeEDMConfig(
+            batch_size=64, mesh=MeshConfig(data=1)))
+    if domain == "semla":
+        from reed_tpu.train.molecule_semla import (SemlaTrainConfig,
+                                                   SemlaTrainer)
+        cfg = SemlaTrainConfig(max_atoms=72, batch_size=56, d_rep=512,
+                               compute_dtype="bfloat16",
+                               mesh=MeshConfig(data=1))
+        t = SemlaTrainer(cfg)
+        t.synthetic_batch = lambda rng=None: t.example_batch(
+            cfg.batch_size, max_n=cfg.max_atoms)
+        return t
+    if domain == "multiflow":
+        from reed_tpu.train.multiflow import (MultiflowTrainConfig,
+                                              MultiflowTrainer)
+        return MultiflowTrainer(MultiflowTrainConfig(
+            batch_size=8, max_len=128, compute_dtype="bfloat16",
+            mesh=MeshConfig(data=1)))
+    raise SystemExit(f"unknown domain {domain}")
+
+
+def main():
+    domain = sys.argv[1] if len(sys.argv) > 1 else "protein"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/prof_{domain}"
+    trainer = make_trainer(domain)
+    state = trainer.init_state()
+    batch = trainer.synthetic_batch(jax.random.PRNGKey(0))
+    batch = jax.device_put(batch, trainer.batch_sharding)
+    rng = jax.random.PRNGKey(0)
+    with trainer.mesh:
+        compiled = trainer.train_step.lower(state, batch, rng).compile()
+        state, m = compiled(state, batch, rng)
+        float(jax.device_get(m["loss"]))
+        jax.profiler.start_trace(outdir)
+        for _ in range(3):
+            state, m = compiled(state, batch, rng)
+        float(jax.device_get(m["loss"]))
+        jax.profiler.stop_trace()
+
+    # parse: op profile by self time on the device
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xplanes = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no xplane under {outdir}"
+    xp = max(xplanes, key=os.path.getmtime)
+    data, _ = rtd.xspace_to_tool_data([xp], "framework_op_stats", {})
+    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+    # framework_op_stats returns gviz JSON; fall back to printing raw head
+    try:
+        table = rows["data"] if isinstance(rows, dict) and "data" in rows else rows
+        print(json.dumps(table)[:2000])
+    except Exception:
+        print(str(rows)[:2000])
+
+
+if __name__ == "__main__":
+    main()
