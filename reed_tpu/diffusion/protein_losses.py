@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from reed_tpu.ops.graph import gather_edges
+from reed_tpu.ops.graph import (gather_edges_oh, gather_scalar_oh,
+                                neighbor_onehot)
 
 NUM_TOKENS = 22
 
@@ -68,13 +69,14 @@ def loss_repr(repr_single, repr_pair, repr_structure,
     repr_structure = repr_structure.astype(jnp.float32) / 100.0
 
     b, l, _, z = repr_pair.shape
-    repr_pair = gather_edges(repr_pair, e_idx)  # [B,L,K,z]
-    mask_pair = (mask[:, :, None] * mask[:, None, :])[..., None]
-    mask_pair = gather_edges(mask_pair, e_idx)[..., 0]  # [B,L,K]
-    mask_pair_residue = jnp.broadcast_to(mask_residue[:, :, None, None],
-                                         (b, l, l, 1))
-    mask_pair_residue = gather_edges(mask_pair_residue, e_idx)[..., 0]
-    mask_pair_residue = mask_pair_residue * mask_pair
+    # one-hot (MXU) gathers — exact, ~10x faster than dynamic-gather on TPU;
+    # XLA CSEs this one_hot with the model's own neighbor_onehot(e_idx)
+    oh = neighbor_onehot(e_idx, l)
+    repr_pair = gather_edges_oh(repr_pair, oh)  # [B,L,K,z]
+    mask_pair = mask[:, :, None] * gather_scalar_oh(mask, oh)  # [B,L,K]
+    # the reference gathers a j-constant broadcast of mask_residue along j,
+    # which is the identity — no gather needed
+    mask_pair_residue = mask_residue[:, :, None] * mask_pair
 
     if repr_norm:
         m, s = _masked_mean_std(repr_single, mask[..., None], (0, 1))

@@ -10,9 +10,19 @@ embeddings, MDLM parameterization, and three projector MLPs emitting aligned
 single (h_V at align_depth), pair (h_ES at align_depth) and structure
 (encoder-output h_V) representations.
 
-All gathers are static-shape take_along_axis ops; sequence lengths come from
-a fixed bucket ladder (SURVEY.md §7.4 item 1) so XLA compiles one program
-per bucket.
+TPU-first restructure (round 3): every neighbor gather is phrased as an
+einsum against a one-hot [B,L,K,L] selection tensor built once per step —
+on TPU, XLA's kCustom dynamic-gather runs at ~20 GB/s effective while the
+einsum form runs on the MXU and its transpose (the backward scatter-add)
+does too. The 3d/4d-wide message-MLP inputs (concat of self node, edge, and
+gathered neighbor features) never materialize: the first Dense of each
+message MLP is computed through kernel slices, so the self part is a K-fold
+cheaper [B,L,d] matmul and the neighbor part gathers AFTER its matmul
+(gathers select whole rows, so they commute with the contraction). All of
+this is exact modulo fp summation order, pinned by the torch-mini parity
+suite (tests/test_fmif_convert.py) and the factored-vs-direct tests in
+tests/test_protein.py. Sequence lengths come from a fixed bucket ladder
+(SURVEY.md §7.4 item 1) so XLA compiles one program per bucket.
 """
 
 from __future__ import annotations
@@ -24,11 +34,11 @@ import jax
 import jax.numpy as jnp
 
 from reed_tpu.ops.graph import (
-    cat_neighbors_nodes,
-    gather_edges,
-    gather_nodes,
+    gather_nodes_oh,
+    gather_pair_scalar_oh,
+    gather_scalar_oh,
     knn_graph,
-    pairwise_dist_gathered,
+    neighbor_onehot,
     rbf,
 )
 
@@ -58,18 +68,43 @@ class PositionWiseFeedForward(nn.Module):
         return nn.Dense(d, dtype=self.dtype, kernel_init=xavier_uniform)(h)
 
 
+class DenseParams(nn.Module):
+    """nn.Dense-compatible (kernel, bias) holder whose kernel the caller
+    slices for factored concat matmuls. Param tree matches nn.Dense exactly
+    (kernel [in, out] xavier-uniform, bias zeros), so checkpoints and the
+    torch converter are unaffected."""
+
+    in_features: int
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_uniform,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel.astype(self.dtype), bias.astype(self.dtype)
+
+
 class PositionalEncodings(nn.Module):
     """Relative-position edge embedding with chain-break indicator
-    (reference: protein/fmif/model_utils.py:406-418)."""
+    (reference: protein/fmif/model_utils.py:406-418). Takes the combined
+    clipped relative-position code d (computed BEFORE the neighbor gather —
+    clipping commutes with gathering, and the bounded code gathers exactly
+    through the bf16 one-hot einsum)."""
 
     num_embeddings: int
     max_relative_feature: int = 32
     dtype: Dtype = jnp.float32
 
+    @staticmethod
+    def code(offset, mask, max_relative_feature: int = 32):
+        m = max_relative_feature
+        return jnp.clip(offset + m, 0, 2 * m) * mask + (1 - mask) * (2 * m + 1)
+
     @nn.compact
-    def __call__(self, offset, mask):
+    def __call__(self, d):
         m = self.max_relative_feature
-        d = jnp.clip(offset + m, 0, 2 * m) * mask + (1 - mask) * (2 * m + 1)
         d_onehot = jax.nn.one_hot(d, 2 * m + 2, dtype=self.dtype)
         return nn.Dense(self.num_embeddings, dtype=self.dtype,
                         kernel_init=xavier_uniform)(d_onehot)
@@ -101,6 +136,7 @@ class ProteinFeatures(nn.Module):
         n_at, ca, c_at, o_at = x[:, :, 0], x[:, :, 1], x[:, :, 2], x[:, :, 3]
 
         d_neighbors, e_idx = knn_graph(ca, mask, self.top_k)
+        oh = neighbor_onehot(e_idx, x.shape[1])
 
         atoms = {"N": n_at, "Ca": ca, "C": c_at, "O": o_at, "Cb": cb}
         # 25 ordered atom pairs (reference order, model_utils.py:479-505)
@@ -109,25 +145,33 @@ class ProteinFeatures(nn.Module):
                  ("N", "O"), ("N", "Cb"), ("Cb", "C"), ("Cb", "O"), ("O", "C"),
                  ("N", "Ca"), ("C", "Ca"), ("O", "Ca"), ("Cb", "Ca"), ("C", "N"),
                  ("O", "N"), ("Cb", "N"), ("C", "Cb"), ("O", "Cb"), ("C", "O")]
+        # gather all 5 neighbor atom positions in ONE one-hot einsum, then
+        # form the 24 remaining pair distances from the gathered copies
+        names = ["N", "Ca", "C", "O", "Cb"]
+        stacked = jnp.stack([atoms[k] for k in names], axis=2)  # [B,L,5,3]
+        nbr = jnp.einsum("bnkm,bmac->bnkac", oh, stacked)       # [B,L,K,5,3]
+        nbr_atoms = {k: nbr[..., i, :] for i, k in enumerate(names)}
         rbf_all = [rbf(d_neighbors, self.num_rbf)]
         for a_name, b_name in pairs[1:]:
-            d = pairwise_dist_gathered(atoms[a_name], atoms[b_name], e_idx)
+            diff = atoms[a_name][:, :, None, :] - nbr_atoms[b_name]
+            d = jnp.sqrt(jnp.sum(diff ** 2, axis=-1) + 1e-6)
             rbf_all.append(rbf(d, self.num_rbf))
         rbf_all = jnp.concatenate(rbf_all, axis=-1)  # [B,L,K,25*num_rbf]
 
         offset = residue_idx[:, :, None] - residue_idx[:, None, :]
-        offset = gather_edges(offset[..., None], e_idx)[..., 0]
         d_chains = (chain_labels[:, :, None] == chain_labels[:, None, :]
                     ).astype(jnp.int32)
-        e_chains = gather_edges(d_chains[..., None], e_idx)[..., 0]
+        # combined clipped code (<= 2m+1 = 65, exactly representable in the
+        # bf16 one-hot einsum), gathered once instead of offset+chain twice
+        code = PositionalEncodings.code(offset, d_chains)
+        code = gather_pair_scalar_oh(code.astype(oh.dtype), oh)
         e_pos = PositionalEncodings(self.num_positional_embeddings,
-                                    dtype=self.dtype)(offset.astype(jnp.int32),
-                                                      e_chains)
+                                    dtype=self.dtype)(code.astype(jnp.int32))
         e = jnp.concatenate([e_pos, rbf_all.astype(self.dtype)], axis=-1)
         e = nn.Dense(self.edge_features, use_bias=False, dtype=self.dtype,
                      kernel_init=xavier_uniform, name="edge_embedding")(e)
         e = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_edges")(e)
-        return e, e_idx
+        return e, e_idx, oh
 
 
 class EncLayer(nn.Module):
@@ -139,18 +183,28 @@ class EncLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h_v, h_e, e_idx, mask_v=None, mask_attend=None,
+    def __call__(self, h_v, h_e, oh, mask_v=None, mask_attend=None,
                  deterministic: bool = True):
         d = h_v.shape[-1]
         dense = lambda name: nn.Dense(d, dtype=self.dtype,
                                       kernel_init=xavier_uniform, name=name)
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
-        h_ev = cat_neighbors_nodes(h_v, h_e, e_idx)
-        h_v_expand = jnp.broadcast_to(h_v[:, :, None, :],
-                                      h_ev.shape[:-1] + (d,))
-        h_ev = jnp.concatenate([h_v_expand, h_ev], axis=-1)
-        h_message = dense("W3")(_gelu(dense("W2")(_gelu(dense("W1")(h_ev)))))
+        def message_in(w_name, h_v):
+            # W over concat([h_v_i, h_e_ij, h_v_j]) factored through kernel
+            # slices: the [B,L,K,3d] concat never materializes, the self
+            # part is a [B,L,d] matmul (K-fold fewer FLOPs than
+            # expand-first), and the neighbor part gathers AFTER its matmul
+            # (gather selects whole rows, so it commutes). Exact modulo fp
+            # summation order.
+            w, b = DenseParams(3 * d, d, dtype=self.dtype, name=w_name)()
+            self_part = h_v @ w[:d]
+            edge_part = h_e @ w[d:2 * d]
+            nbr_part = gather_nodes_oh(h_v @ w[2 * d:], oh)
+            return self_part[:, :, None, :] + edge_part + nbr_part + b
+
+        h_message = dense("W3")(_gelu(dense("W2")(_gelu(
+            message_in("W1", h_v)))))
         if mask_attend is not None:
             h_message = mask_attend[..., None] * h_message
         dh = jnp.sum(h_message, axis=-2) / self.scale
@@ -161,11 +215,8 @@ class EncLayer(nn.Module):
         if mask_v is not None:
             h_v = mask_v[..., None] * h_v
 
-        h_ev = cat_neighbors_nodes(h_v, h_e, e_idx)
-        h_v_expand = jnp.broadcast_to(h_v[:, :, None, :],
-                                      h_ev.shape[:-1] + (d,))
-        h_ev = jnp.concatenate([h_v_expand, h_ev], axis=-1)
-        h_message = dense("W13")(_gelu(dense("W12")(_gelu(dense("W11")(h_ev)))))
+        h_message = dense("W13")(_gelu(dense("W12")(_gelu(
+            message_in("W11", h_v)))))
         h_e = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(h_e + drop(h_message))
         return h_v, h_e
 
@@ -179,20 +230,24 @@ class DecLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h_v, h_e, h_es, mask_v=None, mask_attend=None,
+    def __call__(self, h_v, h_es, oh, mask_edge=None, mask_v=None,
                  deterministic: bool = True):
         d = h_v.shape[-1]
         dense = lambda dim, name: nn.Dense(dim, dtype=self.dtype,
                                            kernel_init=xavier_uniform, name=name)
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
-        h_v_expand = jnp.broadcast_to(h_v[:, :, None, :],
-                                      h_e.shape[:-1] + (d,))
-        h_ev = jnp.concatenate([h_v_expand, h_e], axis=-1)
-        h_message = dense(d, "W3")(_gelu(dense(d, "W2")(
-            _gelu(dense(d, "W1")(h_ev)))))
-        if mask_attend is not None:
-            h_message = mask_attend[..., None] * h_message
+        # W1 over concat([h_v_i, mask * [h_es_ij, h_v_j]]) factored through
+        # kernel slices (mask is a per-row scalar, so it distributes over the
+        # matmul); the [B,L,K,4d] concat never materializes.
+        w1, b1 = DenseParams(4 * d, d, dtype=self.dtype, name="W1")()
+        es_part = h_es @ w1[d:3 * d]
+        nbr_part = gather_nodes_oh(h_v @ w1[3 * d:], oh)
+        edge_terms = es_part + nbr_part
+        if mask_edge is not None:
+            edge_terms = mask_edge * edge_terms
+        pre = (h_v @ w1[:d])[:, :, None, :] + edge_terms + b1
+        h_message = dense(d, "W3")(_gelu(dense(d, "W2")(_gelu(pre))))
 
         # edge update: h_ES <- LN(h_ES + MLP([h_message, h_ES]))
         de_in = jnp.concatenate([h_message, h_es], axis=-1)
@@ -257,9 +312,9 @@ class ProteinMPNNFMIF(nn.Module):
         differentiable sampler), masks [B,L]. Returns log_probs [B,L,22]
         (+ zs_single, zs_pair, zs_structure, e_idx when return_rep)."""
         deterministic = not train
-        e, e_idx = ProteinFeatures(self.edge_features, self.k_neighbors,
-                                   augment_eps=self.augment_eps,
-                                   dtype=self.dtype, name="features")(
+        e, e_idx, oh = ProteinFeatures(self.edge_features, self.k_neighbors,
+                                       augment_eps=self.augment_eps,
+                                       dtype=self.dtype, name="features")(
             x, mask, residue_idx, chain_encoding_all, train=train)
 
         node_init = self.param("node_embeds",
@@ -276,7 +331,7 @@ class ProteinMPNNFMIF(nn.Module):
             cls_emb = nn.Embed(self.num_cls + 1, self.hidden_dim,
                                dtype=self.dtype, name="cls_embedder")(cls)
 
-        mask_attend = gather_nodes(mask[..., None], e_idx)[..., 0]
+        mask_attend = gather_scalar_oh(mask, oh)
         mask_attend = mask[..., None] * mask_attend
         for i in range(self.num_encoder_layers):
             if cls_emb is not None:
@@ -284,7 +339,7 @@ class ProteinMPNNFMIF(nn.Module):
                                      name=f"cls_layers_enc_{i}")(cls_emb)[:, None, :]
             h_v, h_e = EncLayer(self.dropout, dtype=self.dtype,
                                 name=f"encoder_layers_{i}")(
-                h_v, h_e, e_idx, mask, mask_attend, deterministic=deterministic)
+                h_v, h_e, oh, mask, mask_attend, deterministic=deterministic)
 
         zs_structure_raw = h_v
 
@@ -298,7 +353,7 @@ class ProteinMPNNFMIF(nn.Module):
                                (self.vocab, self.hidden_dim))
             h_s = jnp.take(table.astype(self.dtype), s, axis=0)
 
-        h_es = cat_neighbors_nodes(h_s, h_e, e_idx)
+        h_es = jnp.concatenate([h_e, gather_nodes_oh(h_s, oh)], axis=-1)
         mask_1d = mask[:, :, None, None]
 
         zs_single_raw, zs_pair_raw = h_v, h_es
@@ -306,11 +361,10 @@ class ProteinMPNNFMIF(nn.Module):
             if cls_emb is not None:
                 h_v = h_v + nn.Dense(self.hidden_dim, dtype=self.dtype,
                                      name=f"cls_layers_dec_{i}")(cls_emb)[:, None, :]
-            h_esv = cat_neighbors_nodes(h_v, h_es, e_idx)
-            h_esv = mask_1d * h_esv
             h_v, h_es_new = DecLayer(self.dropout, dtype=self.dtype,
                                      name=f"decoder_layers_{i}")(
-                h_v, h_esv, h_es, mask, deterministic=deterministic)
+                h_v, h_es, oh, mask_edge=mask_1d, mask_v=mask,
+                deterministic=deterministic)
             if self.update_edge:
                 h_es = h_es_new
             if i == self.align_depth:

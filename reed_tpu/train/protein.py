@@ -64,6 +64,11 @@ class ProteinTrainConfig:
     curriculum: CurriculumConfig = CurriculumConfig(proj_coeff=0.2)
     mesh: MeshConfig = MeshConfig()
     compute_dtype: str = "float32"
+    # PRNG for dropout/corruption streams: "threefry" (default, parity) or
+    # "rbg" — far cheaper on TPU, where threefry bit generation plus its
+    # fusion into the dW convolutions measurably dominates over the dropout
+    # masks themselves (device trace: ~30 ms/step of a 355 ms step at bs64)
+    rng_impl: str = "threefry"
     seed: int = 0
 
 
@@ -139,7 +144,8 @@ class ProteinTrainer:
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
             cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor)
         self.optimizer = make_optimizer(cfg.optim)
-        rng = jax.random.PRNGKey(cfg.seed)
+        impl = None if cfg.rng_impl == "threefry" else cfg.rng_impl
+        rng = jax.random.PRNGKey(cfg.seed, impl=impl)
         self.init_rng, self.train_rng = jax.random.split(rng)
 
         # projector-only mode trains at unit weight (train_fmif.py:305)

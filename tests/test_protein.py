@@ -149,3 +149,72 @@ def test_protein_train_step_loss_decreases():
             losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses[-1])
+
+
+def test_onehot_gathers_match_take_along_axis():
+    """The MXU one-hot gather helpers are EXACT equivalents of the
+    take_along_axis gathers they replace in pmpnn/loss_repr."""
+    from reed_tpu.ops.graph import (gather_edges, gather_edges_oh,
+                                    gather_nodes, gather_nodes_oh,
+                                    gather_pair_scalar_oh, gather_scalar_oh,
+                                    neighbor_onehot)
+
+    rng = jax.random.PRNGKey(7)
+    b, l, k, c = 2, 13, 5, 6
+    e_idx = jax.random.randint(jax.random.fold_in(rng, 0), (b, l, k), 0, l)
+    oh = neighbor_onehot(e_idx, l)
+    nodes = jax.random.normal(jax.random.fold_in(rng, 1), (b, l, c))
+    edges = jax.random.normal(jax.random.fold_in(rng, 2), (b, l, l, c))
+    scalars = jax.random.normal(jax.random.fold_in(rng, 3), (b, l))
+    codes = jax.random.randint(jax.random.fold_in(rng, 4), (b, l, l),
+                               0, 66).astype(jnp.float32)
+
+    np.testing.assert_array_equal(np.asarray(gather_nodes_oh(nodes, oh)),
+                                  np.asarray(gather_nodes(nodes, e_idx)))
+    np.testing.assert_array_equal(np.asarray(gather_edges_oh(edges, oh)),
+                                  np.asarray(gather_edges(edges, e_idx)))
+    np.testing.assert_array_equal(
+        np.asarray(gather_scalar_oh(scalars, oh)),
+        np.asarray(gather_nodes(scalars[..., None], e_idx)[..., 0]))
+    np.testing.assert_array_equal(
+        np.asarray(gather_pair_scalar_oh(codes.astype(oh.dtype), oh)
+                   ).astype(np.float32),
+        np.asarray(gather_edges(codes[..., None], e_idx)[..., 0]))
+
+
+def test_dec_layer_factored_matches_direct_concat():
+    """DecLayer's sliced-kernel message input equals the direct
+    Dense-on-concat([h_v_i, mask * [h_es, h_v_j]]) formula."""
+    from reed_tpu.models.pmpnn import DecLayer
+    from reed_tpu.ops.graph import gather_nodes, neighbor_onehot
+
+    rng = jax.random.PRNGKey(3)
+    b, l, k, d = 2, 9, 4, 8
+    h_v = jax.random.normal(jax.random.fold_in(rng, 0), (b, l, d))
+    h_es = jax.random.normal(jax.random.fold_in(rng, 1), (b, l, k, 2 * d))
+    e_idx = jax.random.randint(jax.random.fold_in(rng, 2), (b, l, k), 0, l)
+    mask = (jax.random.uniform(jax.random.fold_in(rng, 3), (b, l)) > 0.3
+            ).astype(jnp.float32)
+    oh = neighbor_onehot(e_idx, l)
+    layer = DecLayer(dropout=0.0)
+    variables = layer.init(jax.random.PRNGKey(5), h_v, h_es, oh,
+                           mask_edge=mask[:, :, None, None], mask_v=mask)
+    out_v, out_es = layer.apply(variables, h_v, h_es, oh,
+                                mask_edge=mask[:, :, None, None], mask_v=mask)
+
+    # direct reference formula for the W1 input (model_utils.py:344-390)
+    w1 = variables["params"]["W1"]["kernel"]
+    b1 = variables["params"]["W1"]["bias"]
+    h_esv = jnp.concatenate([h_es, gather_nodes(h_v, e_idx)], axis=-1)
+    h_esv = mask[:, :, None, None] * h_esv
+    h_ev = jnp.concatenate(
+        [jnp.broadcast_to(h_v[:, :, None, :], (b, l, k, d)), h_esv], axis=-1)
+    direct_pre = h_ev @ w1 + b1
+    factored_pre = ((h_v @ w1[:d])[:, :, None, :]
+                    + mask[:, :, None, None]
+                    * (h_es @ w1[d:3 * d]
+                       + gather_nodes(h_v @ w1[3 * d:], e_idx)))
+    np.testing.assert_allclose(np.asarray(factored_pre + b1),
+                               np.asarray(direct_pre), atol=1e-5)
+    assert out_v.shape == (b, l, d)
+    assert out_es.shape == (b, l, k, 2 * d)
