@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from reed_tpu.nn.layers import DenseParams
+
 Dtype = Any
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -56,10 +58,17 @@ class GCL(nn.Module):
     @nn.compact
     def __call__(self, h, edge_attr, node_mask, edge_mask):
         b, n, d = h.shape
-        h_i = jnp.broadcast_to(h[:, :, None, :], (b, n, n, d))
-        h_j = jnp.broadcast_to(h[:, None, :, :], (b, n, n, d))
-        m_in = jnp.concatenate([h_i, h_j, edge_attr], axis=-1)
-        m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_fc1")(m_in)
+        # edge_fc1 over concat([h_i, h_j, edge_attr]) factored through
+        # kernel slices: the two h parts run as [B,N,d] matmuls BEFORE
+        # broadcasting (N-fold fewer FLOPs — this matmul dominated the EDM
+        # step) and the [B,N,N,2d+e] concat never materializes. Exact
+        # modulo fp summation order (pinned by the torch converter parity
+        # test).
+        e = edge_attr.shape[-1]
+        w1, b1 = DenseParams(2 * d + e, self.hidden_nf, dtype=self.dtype,
+                             name="edge_fc1")()
+        m = ((h @ w1[:d])[:, :, None, :] + (h @ w1[d:2 * d])[:, None, :, :]
+             + edge_attr @ w1[2 * d:] + b1)
         m = nn.silu(m)
         m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_fc2")(m)
         m = nn.silu(m)
@@ -94,10 +103,12 @@ class EquivariantUpdate(nn.Module):
     @nn.compact
     def __call__(self, h, x, coord_diff, edge_attr, node_mask, edge_mask):
         b, n, d = h.shape
-        h_i = jnp.broadcast_to(h[:, :, None, :], (b, n, n, d))
-        h_j = jnp.broadcast_to(h[:, None, :, :], (b, n, n, d))
-        inp = jnp.concatenate([h_i, h_j, edge_attr], axis=-1)
-        m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_fc1")(inp)
+        # same factored concat matmul as GCL.edge_fc1 (see above)
+        e = edge_attr.shape[-1]
+        w1, b1 = DenseParams(2 * d + e, self.hidden_nf, dtype=self.dtype,
+                             name="coord_fc1")()
+        m = ((h @ w1[:d])[:, :, None, :] + (h @ w1[d:2 * d])[:, None, :, :]
+             + edge_attr @ w1[2 * d:] + b1)
         m = nn.silu(m)
         m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_fc2")(m)
         m = nn.silu(m)

@@ -33,6 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from reed_tpu.nn.layers import DenseParams as _DenseParams
 from reed_tpu.ops.graph import (
     gather_nodes_oh,
     gather_pair_scalar_oh,
@@ -68,22 +69,12 @@ class PositionWiseFeedForward(nn.Module):
         return nn.Dense(d, dtype=self.dtype, kernel_init=xavier_uniform)(h)
 
 
-class DenseParams(nn.Module):
-    """nn.Dense-compatible (kernel, bias) holder whose kernel the caller
-    slices for factored concat matmuls. Param tree matches nn.Dense exactly
-    (kernel [in, out] xavier-uniform, bias zeros), so checkpoints and the
-    torch converter are unaffected."""
+class DenseParams(_DenseParams):
+    """pmpnn flavor of nn.DenseParams: xavier-uniform kernel like every
+    Dense in this model (see reed_tpu/nn/layers.py for the factoring
+    rationale)."""
 
-    in_features: int
-    features: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", xavier_uniform,
-                            (self.in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel.astype(self.dtype), bias.astype(self.dtype)
+    kernel_init: Any = xavier_uniform
 
 
 class PositionalEncodings(nn.Module):

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from reed_tpu.models.egnn import coord2diff
+from reed_tpu.nn.layers import DenseParams
 
 Dtype = Any
 
@@ -29,11 +30,13 @@ class PropertyEGNNLayer(nn.Module):
     @nn.compact
     def __call__(self, h, edge_attr, node_mask, edge_mask):
         b, n, d = h.shape
-        h_i = jnp.broadcast_to(h[:, :, None, :], (b, n, n, d))
-        h_j = jnp.broadcast_to(h[:, None, :, :], (b, n, n, d))
-        m = jnp.concatenate([h_i, h_j, edge_attr], axis=-1)
-        m = nn.silu(nn.Dense(self.hidden_nf, dtype=self.dtype,
-                             name="edge_fc1")(m))
+        # factored concat matmul (see reed_tpu/nn/layers.py DenseParams)
+        e = edge_attr.shape[-1]
+        w1, b1 = DenseParams(2 * d + e, self.hidden_nf, dtype=self.dtype,
+                             name="edge_fc1")()
+        m = ((h @ w1[:d])[:, :, None, :] + (h @ w1[d:2 * d])[:, None, :, :]
+             + edge_attr @ w1[2 * d:] + b1)
+        m = nn.silu(m)
         m = nn.silu(nn.Dense(self.hidden_nf, dtype=self.dtype,
                              name="edge_fc2")(m))
         if self.attention:

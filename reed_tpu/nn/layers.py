@@ -34,6 +34,30 @@ normal02 = nn.initializers.normal(stddev=0.02)
 zeros_init = nn.initializers.zeros
 
 
+class DenseParams(nn.Module):
+    """nn.Dense-compatible (kernel, bias) holder whose kernel the caller
+    slices for factored concat matmuls: a Dense over
+    concat([a_broadcast, b, ...]) equals the sum of per-part matmuls with
+    kernel row slices, letting broadcast parts run as small matmuls BEFORE
+    broadcasting (K- or N-fold fewer FLOPs) and keeping the wide concat
+    from ever materializing. Param tree matches nn.Dense exactly (kernel
+    [in, out], bias [out]) so checkpoints and torch converters are
+    unaffected. Exact modulo fp summation order."""
+
+    in_features: int
+    features: int
+    dtype: Any = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or jnp.float32
+        return kernel.astype(dtype), bias.astype(dtype)
+
+
 class ProjectorMLP(nn.Module):
     """3-layer SiLU MLP projecting backbone activations to an encoder's
     representation space (z-tilde). Reference: image/models/sit.py:17-24."""

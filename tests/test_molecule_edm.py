@@ -180,3 +180,34 @@ def test_edm_with_learned_gamma():
     h_int = jnp.ones((2, 4, 1)) * mask
     nll, _ = edm.loss(rng, x, h_cat, h_int, mask, em, train=False)
     assert np.all(np.isfinite(np.asarray(nll)))
+
+
+def test_gcl_factored_matches_direct_concat():
+    """GCL's sliced-kernel edge_fc1 equals the direct Dense-on-concat
+    ([h_i, h_j, edge_attr]) formula (egnn_new.py:6-68)."""
+    import numpy as np
+
+    from reed_tpu.models.egnn import GCL
+
+    rng = jax.random.PRNGKey(11)
+    b, n, d, e = 2, 7, 8, 2
+    h = jax.random.normal(jax.random.fold_in(rng, 0), (b, n, d))
+    edge_attr = jax.random.normal(jax.random.fold_in(rng, 1), (b, n, n, e))
+    node_mask = jnp.ones((b, n, 1))
+    edge_mask = jnp.ones((b, n, n, 1))
+    layer = GCL(hidden_nf=d, attention=True)
+    variables = layer.init(jax.random.PRNGKey(2), h, edge_attr, node_mask,
+                           edge_mask)
+    out = layer.apply(variables, h, edge_attr, node_mask, edge_mask)
+
+    w1 = variables["params"]["edge_fc1"]["kernel"]
+    b1 = variables["params"]["edge_fc1"]["bias"]
+    h_i = jnp.broadcast_to(h[:, :, None, :], (b, n, n, d))
+    h_j = jnp.broadcast_to(h[:, None, :, :], (b, n, n, d))
+    direct = jnp.concatenate([h_i, h_j, edge_attr], axis=-1) @ w1 + b1
+    factored = ((h @ w1[:d])[:, :, None, :] + (h @ w1[d:2 * d])[:, None, :, :]
+                + edge_attr @ w1[2 * d:] + b1)
+    np.testing.assert_allclose(np.asarray(factored), np.asarray(direct),
+                               atol=1e-5)
+    assert out.shape == (b, n, d)
+    assert np.all(np.isfinite(np.asarray(out)))
