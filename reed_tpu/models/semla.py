@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from reed_tpu.nn.layers import DenseParams
+
 Dtype = Any
 NEG_INF = -1e9
 
@@ -115,14 +117,20 @@ class EdgeMessages(nn.Module):
         coord_feats = jnp.einsum("bsnd,bsmd->bnms", coords, coords)
 
         nf = nn.Dense(self.d_message, dtype=self.dtype, name="node_proj")(node_feats)
-        nf_i = jnp.broadcast_to(nf[:, :, None, :], (b, n, n, self.d_message))
-        nf_j = jnp.broadcast_to(nf[:, None, :, :], (b, n, n, self.d_message))
-        feats = [nf_i, nf_j, coord_feats.astype(self.dtype)]
+        # message_fc1 over concat([nf_i, nf_j, grams, edges]) factored
+        # through kernel slices (reed_tpu/nn/layers.py DenseParams): the two
+        # node parts run as [B,N,dm] matmuls BEFORE broadcasting and the
+        # [B,N,N,2dm+...] concat never materializes
+        dm = self.d_message
+        pair_feats = [coord_feats.astype(self.dtype)]
         if edge_feats is not None:
-            feats.append(nn.LayerNorm(dtype=self.dtype,
-                                      name="edge_norm")(edge_feats))
-        x = jnp.concatenate(feats, axis=-1)
-        x = nn.Dense(d_ff, dtype=self.dtype, name="message_fc1")(x)
+            pair_feats.append(nn.LayerNorm(dtype=self.dtype,
+                                           name="edge_norm")(edge_feats))
+        pair = jnp.concatenate(pair_feats, axis=-1)
+        w1, b1 = DenseParams(2 * dm + pair.shape[-1], d_ff, dtype=self.dtype,
+                             name="message_fc1")()
+        x = ((nf @ w1[:dm])[:, :, None, :] + (nf @ w1[dm:2 * dm])[:, None, :, :]
+             + pair @ w1[2 * dm:] + b1)
         x = nn.silu(x)
         return nn.Dense(self.d_out, dtype=self.dtype, name="message_fc2")(x)
 
@@ -286,12 +294,15 @@ class BondRefine(nn.Module):
         dots = jnp.einsum("bnd,bmd->bnm", coords, coords)[..., None]
         nf = nn.Dense(self.d_message, dtype=self.dtype, name="node_proj")(
             nn.LayerNorm(dtype=self.dtype, name="node_norm")(node_feats))
-        nf_i = jnp.broadcast_to(nf[:, :, None, :], (b, n, n, self.d_message))
-        nf_j = jnp.broadcast_to(nf[:, None, :, :], (b, n, n, self.d_message))
         ef = nn.LayerNorm(dtype=self.dtype, name="edge_norm")(edge_feats)
-        x = jnp.concatenate([nf_i, nf_j, dists.astype(self.dtype),
-                             dots.astype(self.dtype), ef], axis=-1)
-        x = nn.Dense(d_ff, dtype=self.dtype, name="message_fc1")(x)
+        # factored concat matmul, same as EdgeMessages above
+        dm = self.d_message
+        pair = jnp.concatenate([dists.astype(self.dtype),
+                                dots.astype(self.dtype), ef], axis=-1)
+        w1, b1 = DenseParams(2 * dm + pair.shape[-1], d_ff, dtype=self.dtype,
+                             name="message_fc1")()
+        x = ((nf @ w1[:dm])[:, :, None, :] + (nf @ w1[dm:2 * dm])[:, None, :, :]
+             + pair @ w1[2 * dm:] + b1)
         x = nn.silu(x)
         return nn.Dense(self.d_edge, dtype=self.dtype, name="message_fc2")(x)
 
