@@ -116,14 +116,23 @@ class InvariantPointAttention(nn.Module):
         att = jnp.einsum("bihc,bjhc->bhij", q, k) * math.sqrt(1.0 / (3 * c))
         att = att + math.sqrt(1.0 / 3) * jnp.transpose(bias, (0, 3, 1, 2))
 
-        # point attention logits
-        pt_disp = (q_pts[:, :, None, :, :, :] - k_pts[:, None, :, :, :, :])
-        pt_att = jnp.sum(pt_disp ** 2, axis=-1).sum(-1)  # [B,N,N,H]
+        # point attention logits via the gram identity: sum_{p,d}(q-k)^2 =
+        # |q|^2 + |k|^2 - 2<q,k> — the rank-6 [B,N,N,H,P,3] displacement
+        # tensor of the direct form (ipa_pytorch.py:390-400) never
+        # materializes and the cross term runs on the MXU. Accumulated in
+        # f32 to absorb the cancellation (same treatment as the semla
+        # factored coord attention).
+        qf = q_pts.astype(jnp.float32)
+        kf = k_pts.astype(jnp.float32)
+        qn = jnp.transpose(jnp.sum(qf ** 2, axis=(-1, -2)), (0, 2, 1))
+        kn = jnp.transpose(jnp.sum(kf ** 2, axis=(-1, -2)), (0, 2, 1))
+        cross = jnp.einsum("bihpd,bjhpd->bhij", qf, kf)
+        pt_att = qn[..., :, None] + kn[..., None, :] - 2.0 * cross  # [B,H,N,N]
         head_weights = self.param("head_weights",
                                   nn.initializers.zeros, (h,))
         gamma = jax.nn.softplus(head_weights) * math.sqrt(1.0 / (3 * (pq * 9.0 / 2)))
-        pt_att = pt_att * gamma[None, None, None, :] * (-0.5)
-        att = att + jnp.transpose(pt_att, (0, 3, 1, 2))
+        pt_att = pt_att * gamma[None, :, None, None] * (-0.5)
+        att = att + pt_att.astype(att.dtype)
 
         # square mask, exactly as the reference (ipa_pytorch.py:409-415)
         square_mask = mask[:, None, :] * mask[:, :, None]

@@ -133,3 +133,26 @@ def test_multiflow_train_and_sample():
     assert _is_rotation(out["rotmats"], atol=1e-2)
     assert out["aatypes"].shape == (2, 12)
     assert int(out["aatypes"].max()) < MASK_TOKEN_INDEX  # all unmasked
+
+
+def test_ipa_point_attention_gram_identity():
+    """The factored point-attention logits (|q|^2+|k|^2-2<q,k>) equal the
+    direct sum of squared displacements (ipa_pytorch.py:390-400)."""
+    import numpy as np
+
+    rng = jax.random.PRNGKey(4)
+    b, n, h, p = 2, 9, 4, 5
+    q_pts = jax.random.normal(jax.random.fold_in(rng, 0), (b, n, h, p, 3)) * 3
+    k_pts = jax.random.normal(jax.random.fold_in(rng, 1), (b, n, h, p, 3)) * 3
+
+    direct = jnp.sum((q_pts[:, :, None] - k_pts[:, None]) ** 2,
+                     axis=(-1, -2))                       # [B,N,N,H]
+    direct = jnp.transpose(direct, (0, 3, 1, 2))          # [B,H,N,N]
+
+    qn = jnp.transpose(jnp.sum(q_pts ** 2, axis=(-1, -2)), (0, 2, 1))
+    kn = jnp.transpose(jnp.sum(k_pts ** 2, axis=(-1, -2)), (0, 2, 1))
+    cross = jnp.einsum("bihpd,bjhpd->bhij", q_pts, k_pts)
+    factored = qn[..., :, None] + kn[..., None, :] - 2.0 * cross
+
+    np.testing.assert_allclose(np.asarray(factored), np.asarray(direct),
+                               atol=1e-4)
