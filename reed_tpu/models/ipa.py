@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from reed_tpu.nn.layers import DenseParams
 from reed_tpu.ops.so3 import quat_to_rotmat
 
 Dtype = Any
@@ -294,15 +295,8 @@ class EdgeFeatureNet(nn.Module):
                  diffuse_mask):
         b, n, _ = node_embed.shape
 
-        def cross_concat(f):
-            return jnp.concatenate([
-                jnp.broadcast_to(f[:, :, None], (b, n, n, f.shape[-1])),
-                jnp.broadcast_to(f[:, None, :], (b, n, n, f.shape[-1])),
-            ], axis=-1)
-
         p_i = nn.Dense(self.feat_dim, dtype=self.dtype,
                        name="linear_s_p")(node_embed)
-        cross_node = cross_concat(p_i)
 
         # reference uses arange, not res_idx (edge_feature_net.py:57-60)
         r = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
@@ -311,16 +305,28 @@ class EdgeFeatureNet(nn.Module):
                           name="linear_relpos")(
             mf_index_embedding(d, self.feat_dim).astype(self.dtype))
 
-        feats = [cross_node, relpos,
-                 mf_distogram(trans_t, num_bins=self.num_bins
-                              ).astype(self.dtype),
-                 mf_distogram(trans_sc, num_bins=self.num_bins
-                              ).astype(self.dtype)]
+        # embed_0 over concat([cross_node(2F), pair feats, cross_diffuse])
+        # factored through kernel slices (reed_tpu/nn/layers.py DenseParams):
+        # the node and diffuse-mask cross-concat parts run as [B,N,*]
+        # matmuls BEFORE broadcasting, so those pairwise concats never
+        # materialize
+        f = self.feat_dim
+        pair = jnp.concatenate(
+            [relpos,
+             mf_distogram(trans_t, num_bins=self.num_bins).astype(self.dtype),
+             mf_distogram(trans_sc, num_bins=self.num_bins
+                          ).astype(self.dtype)], axis=-1)
+        in_total = 2 * f + pair.shape[-1] + (2 if self.embed_diffuse_mask
+                                             else 0)
+        w0, b0 = DenseParams(in_total, self.c_z, dtype=self.dtype,
+                             name="embed_0")()
+        x = ((p_i @ w0[:f])[:, :, None, :] + (p_i @ w0[f:2 * f])[:, None, :, :]
+             + pair @ w0[2 * f:2 * f + pair.shape[-1]] + b0)
         if self.embed_diffuse_mask:
-            feats.append(cross_concat(diffuse_mask[..., None]
-                                      ).astype(self.dtype))
-        x = jnp.concatenate(feats, axis=-1)
-        x = nn.Dense(self.c_z, dtype=self.dtype, name="embed_0")(x)
+            dm = diffuse_mask[..., None].astype(self.dtype)
+            wd = w0[2 * f + pair.shape[-1]:]
+            x = x + ((dm @ wd[:1])[:, :, None, :]
+                     + (dm @ wd[1:])[:, None, :, :])
         x = nn.relu(x)
         x = nn.Dense(self.c_z, dtype=self.dtype, name="embed_2")(x)
         x = nn.relu(x)
