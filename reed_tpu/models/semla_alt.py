@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from reed_tpu.models.semla import RepConditioner, adj_from_node_mask, zero_com
+from reed_tpu.nn.layers import DenseParams
 
 Dtype = Any
 
@@ -48,11 +49,19 @@ class VanillaEgnnLayer(nn.Module):
 
         sqrd, diff = _sqrd_dists(coords)
         e_in = jnp.concatenate([edge_feats, sqrd.astype(self.dtype)], -1)
-        h_i = jnp.broadcast_to(inv_feats[:, :, None], (b, n, n, d))
-        h_j = jnp.broadcast_to(inv_feats[:, None, :], (b, n, n, d))
-        msg_in = jnp.concatenate([h_i, h_j, e_in], -1)
-        m = nn.silu(nn.Dense(self.d_model, dtype=self.dtype,
-                             name="phi_e_fc1")(msg_in))
+
+        # phi_e/phi_x first Denses over concat([h_i, h_j, e_in]) factored
+        # through kernel slices (reed_tpu/nn/layers.py DenseParams): node
+        # parts run as [B,N,d] matmuls before broadcasting, the
+        # [B,N,N,2d+e] concat never materializes
+        def msg_fc1(name):
+            w, bias = DenseParams(2 * d + e_in.shape[-1], self.d_model,
+                                  dtype=self.dtype, name=name)()
+            return ((inv_feats @ w[:d])[:, :, None]
+                    + (inv_feats @ w[d:2 * d])[:, None, :]
+                    + e_in @ w[2 * d:] + bias)
+
+        m = nn.silu(msg_fc1("phi_e_fc1"))
         out_dim = self.d_model + (self.d_pred_edge or 0)
         m = nn.silu(nn.Dense(out_dim, dtype=self.dtype, name="phi_e_fc2")(m))
         edge_pred = m[..., self.d_model:] if self.d_pred_edge else None
@@ -67,8 +76,7 @@ class VanillaEgnnLayer(nn.Module):
                      name="phi_h_fc2")(nn.silu(h))
 
         # scalar coordinate update along normalized differences
-        s = nn.silu(nn.Dense(self.d_model, dtype=self.dtype,
-                             name="phi_x_fc1")(msg_in))
+        s = nn.silu(msg_fc1("phi_x_fc1"))
         s = nn.silu(nn.Dense(self.d_model, dtype=self.dtype,
                              name="phi_x_fc2")(s))
         s = nn.Dense(1, dtype=self.dtype, name="phi_x_fc3",
@@ -172,13 +180,14 @@ class EqgatLayer(nn.Module):
 
         sqrd, diff = _sqrd_dists(coords)
         norm_diff = diff / (jnp.sqrt(sqrd + 1e-8) + 1.0)
-        # invariant message inputs: pair feats + distances + edge feats
-        h_i = jnp.broadcast_to(inv_feats[:, :, None], (b, n, n, d))
-        h_j = jnp.broadcast_to(inv_feats[:, None, :], (b, n, n, d))
-        msg_in = jnp.concatenate(
-            [h_i, h_j, sqrd.astype(self.dtype), edge_feats], -1)
-        m = nn.silu(nn.Dense(self.d_model, dtype=self.dtype,
-                             name="msg_fc1")(msg_in))
+        # invariant message inputs: pair feats + distances + edge feats —
+        # msg_fc1 factored through kernel slices (see VanillaEgnnLayer)
+        e_in = jnp.concatenate([sqrd.astype(self.dtype), edge_feats], -1)
+        w1, b1 = DenseParams(2 * d + e_in.shape[-1], self.d_model,
+                             dtype=self.dtype, name="msg_fc1")()
+        m = nn.silu((inv_feats @ w1[:d])[:, :, None]
+                    + (inv_feats @ w1[d:2 * d])[:, None, :]
+                    + e_in @ w1[2 * d:] + b1)
         m = nn.Dense(self.d_model + 2 * v, dtype=self.dtype,
                      name="msg_fc2")(m)
         att = nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="att")(m))
@@ -262,11 +271,14 @@ class EqgatGenerator(nn.Module):
                                name="atom_head")(h)
         charge_logits = nn.Dense(self.n_charge_types, dtype=self.dtype,
                                  name="charge_head")(h)
-        h_i = jnp.broadcast_to(h[:, :, None], (b, n, n, h.shape[-1]))
-        h_j = jnp.broadcast_to(h[:, None, :], (b, n, n, h.shape[-1]))
-        pair = nn.silu(nn.Dense(self.d_edge, dtype=self.dtype,
-                                name="bond_fc1")(
-            jnp.concatenate([h_i + h_j, e], -1)))
+        # bond_fc1 over concat([h_i + h_j, e]) factored: the symmetric sum
+        # shares one kernel slice, applied to h before broadcasting
+        dh = h.shape[-1]
+        wb, bb = DenseParams(dh + e.shape[-1], self.d_edge,
+                             dtype=self.dtype, name="bond_fc1")()
+        hw = h @ wb[:dh]
+        pair = nn.silu(hw[:, :, None] + hw[:, None, :]
+                       + e @ wb[dh:] + bb)
         bond_logits = nn.Dense(self.n_edge_types, dtype=self.dtype,
                                name="bond_fc2")(pair)
         return (pred_coords, type_logits.astype(jnp.float32),
