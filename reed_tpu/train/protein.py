@@ -144,8 +144,13 @@ class ProteinTrainer:
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
             cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor)
         self.optimizer = make_optimizer(cfg.optim)
-        impl = None if cfg.rng_impl == "threefry" else cfg.rng_impl
-        rng = jax.random.PRNGKey(cfg.seed, impl=impl)
+        if cfg.rng_impl == "threefry":
+            rng = jax.random.PRNGKey(cfg.seed)
+        else:
+            # typed key array: flax make_rng and jax.random both handle it
+            # without re-wrapping (a raw rbg key would be mis-wrapped as
+            # threefry by flax)
+            rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         self.init_rng, self.train_rng = jax.random.split(rng)
 
         # projector-only mode trains at unit weight (train_fmif.py:305)

@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32",
                     help="compute dtype (bfloat16 validates the mixed-"
                          "precision path: f32 logits/coords, bf16 layers)")
+    ap.add_argument("--rng-impl", default="threefry",
+                    help="PRNG impl (rbg validates the fast-dropout path)")
+    ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (for smoke tests)")
     ap.add_argument("--tiny", action="store_true",
@@ -67,7 +70,8 @@ def main(argv=None):
     cfg = ProteinTrainConfig(
         hidden_dim=args.hidden,
         k_neighbors=min(30, args.length),
-        dropout=0.0,
+        dropout=args.dropout,
+        rng_impl=args.rng_impl,
         load_repr=False,
         repr_weight=0.0,
         single_dim=8, pair_dim=4, structure_dim=8,
