@@ -52,6 +52,10 @@ class MeshConfig:
     data: Optional[int] = None
     fsdp: int = 1
     tensor: int = 1
+    # Sequence parallelism (image domain): shards the token axis of SiT
+    # activations over the 'seq' mesh axis. Post-parity extension for 512px+
+    # (SURVEY.md §5.7) — the reference has no sequence parallelism at all.
+    seq: int = 1
     # Minimum param size (elements) for FSDP sharding; None = library
     # default (parallel/mesh.FSDP_MIN_SIZE). Small params are replicated:
     # sharding them pollutes activation shardings (involuntary remat).

@@ -117,6 +117,12 @@ class SiT(nn.Module):
     # middle ground between no-remat OOM and full-remat slowdown)
     remat: Any = False
     exact_gelu: bool = False  # torch parity (erf); tanh approx is faster
+    # Optional NamedSharding for [B, S, D] token activations (sequence
+    # parallelism over the 'seq' mesh axis — parallel/mesh.token_sharding).
+    # Constraints re-anchor after every block; GSPMD inserts the attention
+    # all-gathers. None = no constraints (single-chip / no-SP compiles to
+    # the identical program).
+    token_sharding: Any = None
 
     @nn.compact
     def __call__(self, x, t, y, train: bool = False, return_zs: Optional[bool] = None):
@@ -132,6 +138,8 @@ class SiT(nn.Module):
                      name="x_embedder")(x)
         pos = get_2d_sincos_pos_embed(self.hidden_size, num_patches_side)
         x = x + jnp.asarray(pos, self.dtype)[None]
+        if self.token_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, self.token_sharding)
 
         t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
                                  name="t_embedder")(t)
@@ -155,6 +163,8 @@ class SiT(nn.Module):
                           attn_impl=self.attn_impl,
                           exact_gelu=self.exact_gelu,
                           name=f"blocks_{i}")(x, c)
+            if self.token_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, self.token_sharding)
             if return_zs and (i + 1) == self.encoder_depth:
                 if depth_text is None or depth_text == self.encoder_depth:
                     zs_image = [

@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
-MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+SEQ_AXIS = "seq"
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, SEQ_AXIS, TENSOR_AXIS)
 
 
 def make_mesh(
@@ -33,19 +34,21 @@ def make_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    seq: int = 1,
 ) -> Mesh:
-    """Build a ('data','fsdp','tensor') mesh. `data=None` absorbs all
+    """Build a ('data','fsdp','seq','tensor') mesh. `data=None` absorbs all
     remaining devices. ICI-adjacent axes should be the fastest-varying ones;
-    we put 'tensor' innermost so TP collectives ride the shortest links.
+    we put 'tensor' innermost so TP collectives ride the shortest links,
+    with 'seq' (attention all-gathers, image SP) next.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    need = data * fsdp * tensor
-    assert need <= n, (data, fsdp, tensor, n)
-    dev_array = np.asarray(devices[:need]).reshape(data, fsdp, tensor)
+        assert n % (fsdp * tensor * seq) == 0, (n, fsdp, tensor, seq)
+        data = n // (fsdp * tensor * seq)
+    need = data * fsdp * tensor * seq
+    assert need <= n, (data, fsdp, tensor, seq, n)
+    dev_array = np.asarray(devices[:need]).reshape(data, fsdp, seq, tensor)
     return Mesh(dev_array, MESH_AXES)
 
 
@@ -59,6 +62,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def token_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """NamedSharding for [B, S, D] token activations with the token axis
+    sharded over 'seq' (image sequence parallelism). None when SP is off,
+    so the model skips its constraints entirely."""
+    if SEQ_AXIS not in mesh.shape or mesh.shape[SEQ_AXIS] <= 1:
+        return None
+    batch = (DATA_AXIS, FSDP_AXIS) if mesh.shape[FSDP_AXIS] > 1 else DATA_AXIS
+    return NamedSharding(mesh, P(batch, SEQ_AXIS, None))
 
 
 # Minimum leaf size (elements) for FSDP sharding. Sharding small params

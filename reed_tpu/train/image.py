@@ -49,9 +49,10 @@ class ImageTrainConfig:
     seed: int = 0
 
 
-def build_model(cfg: ImageTrainConfig) -> SiT:
+def build_model(cfg: ImageTrainConfig, token_sharding=None) -> SiT:
     return create_sit(
         cfg.model,
+        token_sharding=token_sharding,
         input_size=cfg.input_size,
         in_channels=cfg.in_channels,
         num_classes=cfg.num_classes,
@@ -88,9 +89,9 @@ class ImageTrainer:
 
     def __init__(self, cfg: ImageTrainConfig, mesh=None):
         self.cfg = cfg
-        self.model = build_model(cfg)
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
-            cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor)
+            cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor, seq=cfg.mesh.seq)
+        self.model = build_model(cfg, meshlib.token_sharding(self.mesh))
         self.optimizer = make_optimizer(cfg.optim)
 
         rng = jax.random.PRNGKey(cfg.seed)

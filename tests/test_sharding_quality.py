@@ -125,3 +125,50 @@ def test_no_involuntary_rematerialization():
     assert "COMPILED-OK" in proc.stdout
     assert "Involuntary full rematerialization" not in proc.stderr, \
         [l for l in proc.stderr.splitlines() if "Involuntary" in l][:3]
+
+
+_SP_SNIPPET = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from reed_tpu.core.config import CurriculumConfig, MeshConfig, OptimConfig
+from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
+from reed_tpu.parallel import mesh as meshlib
+from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
+
+mesh = MeshConfig(data=2, fsdp=1, tensor=2, seq=2)
+cfg = ImageTrainConfig(model="SiT-S/4", input_size=16, in_channels=4,
+    num_classes=16, encoder_depth=2, z_dims=(16,), z_types=("i",),
+    projector_dim=32, compute_dtype="float32", batch_size=16,
+    loss=FlowMatchingLossConfig(enc_names=("dinov2",), loss_weights=(1.0,)),
+    optim=OptimConfig(lr=1e-3, grad_clip=1.0),
+    curriculum=CurriculumConfig(max_steps=10, diffusion_warmup_steps=0),
+    mesh=mesh)
+tr = ImageTrainer(cfg)
+assert meshlib.token_sharding(tr.mesh) is not None
+st = tr.init_state()
+b = tr.synthetic_batch()
+with tr.mesh:
+    st, m = tr.train_step(st, b, jax.random.PRNGKey(0))
+loss = float(m["loss"])
+assert loss == loss and loss > 0.0
+print("SP-COMPILED-OK", loss)
+"""
+
+
+@pytest.mark.slow
+def test_sequence_parallel_image_step():
+    """Image train step compiles + runs with the token axis sharded over a
+    'seq' mesh axis (data=2 x seq=2 x tensor=2) — sequence parallelism the
+    reference does not have (SURVEY.md §5.7) — with no involuntary-remat
+    fallback."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SP_SNIPPET], env=env,
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "SP-COMPILED-OK" in proc.stdout
+    assert "Involuntary full rematerialization" not in proc.stderr, \
+        [l for l in proc.stderr.splitlines() if "Involuntary" in l][:3]
