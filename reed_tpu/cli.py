@@ -38,6 +38,9 @@ def _add_common(p):
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--fsdp", type=int, default=None)
     p.add_argument("--tp", type=int, default=None)
+    p.add_argument("--sp", type=int, default=None,
+                   help="sequence-parallel axis size (image domain: shards "
+                        "SiT tokens over the 'seq' mesh axis)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 3-8")
     p.add_argument("--config", type=str, default=None,
@@ -68,7 +71,8 @@ def _resolve_cfg(cls, args, defaults=None):
     if args.seed is not None:
         legacy["seed"] = args.seed
     mesh = {k: v for k, v in
-            {"data": args.dp, "fsdp": args.fsdp, "tensor": args.tp}.items()
+            {"data": args.dp, "fsdp": args.fsdp, "tensor": args.tp,
+             "seq": getattr(args, "sp", None)}.items()
             if v is not None}
     if mesh:
         legacy["mesh"] = mesh
