@@ -83,7 +83,13 @@ def bench_protein():
     toks = cfg.batch_size * cfg.max_len
     return {"domain": "protein-fmif", "unit": "tokens/sec",
             "value": round(toks / per_step, 1), **perf,
-            "config": "hidden 128, 3+3 layers, k30, L256, bs64, bf16"}
+            "config": "hidden 128, 3+3 layers, k30, L256, bs64, bf16",
+            "bottleneck": "r3 trace showed kCustom dynamic gathers at "
+            "~20 GB/s effective plus [B,L,K,384] concat materializations "
+            "dominating the 355 ms step; rewriting every neighbor gather "
+            "as a one-hot einsum (MXU) and computing the message-MLP "
+            "first Dense through kernel slices (concat never built) "
+            "doubled throughput: 45.7k -> 92.5k tok/s"}
 
 
 def bench_semla():
@@ -108,14 +114,17 @@ def bench_semla():
             "bs56, bf16 features + f32 coords, factored coord attention",
             "bottleneck": "VPU/bandwidth-bound by architecture (small "
             "matmuls, pairwise geometry): r2 profile showed matmul fusions "
-            "~5% of device time. r3 lifted 213.5 -> 411 mol/s (1.92x) by "
+            "~5% of device time. r3 lifted 213.5 -> 487 mol/s (2.28x) by "
             "(a) bf16 features + f32-pinned coords, (b) factoring the "
             "pairwise-difference coord attention through the gram identity "
             "so the rank-5 [B,3,N,N,P] tensor never materializes, (c) "
-            "collapsing the rank-1 feedforward outer product — both "
-            "algebra-exact (tests pin them to the direct formulas). Full "
-            "bf16 overflows gradients; mixed precision is the stable "
-            "middle path (CONVERGENCE_SEMLA_BF16.json)."}
+            "collapsing the rank-1 feedforward outer product, (d) factored "
+            "concat matmuls in EdgeMessages — all algebra-exact (tests pin "
+            "them to the direct formulas). The factored forms also REDUCE "
+            "step FLOPs (2.70 -> 1.68 TFLOP), so MFU is not comparable "
+            "across rounds; throughput is. Full bf16 overflows gradients; "
+            "mixed precision is the stable middle path "
+            "(CONVERGENCE_SEMLA_BF16.json)."}
 
 
 def bench_edm():
@@ -127,7 +136,12 @@ def bench_edm():
     per_step, perf = _time_steps(MoleculeEDMTrainer(cfg))
     return {"domain": "molecule-edm", "unit": "molecules/sec",
             "value": round(cfg.batch_size / per_step, 1), **perf,
-            "config": "hidden 256, 9 blocks, QM9 n<=29, bs64"}
+            "config": "hidden 256, 9 blocks, QM9 n<=29, bs64",
+            "bottleneck": "r3 factored the edge-MLP concat matmul (the "
+            "dominant EGNN matmul: h_i/h_j parts computed once per node "
+            "instead of per edge), 1.92k -> 2.99k mol/s (1.56x) while "
+            "CUTTING step FLOPs 1.28 -> 0.55 TFLOP; stays f32 (gather-"
+            "bound, bf16 was only 1.07x and risks VLB precision)"}
 
 
 def bench_multiflow():
