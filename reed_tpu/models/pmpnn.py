@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from reed_tpu.nn.layers import DenseParams as _DenseParams
+from reed_tpu.ops.fused_message import fused_message_mlp
 from reed_tpu.ops.graph import (
     gather_nodes_oh,
     gather_pair_scalar_oh,
@@ -171,10 +172,11 @@ class EncLayer(nn.Module):
 
     dropout: float = 0.1
     scale: float = 30.0
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h_v, h_e, oh, mask_v=None, mask_attend=None,
+    def __call__(self, h_v, h_e, oh, e_idx, mask_v=None, mask_attend=None,
                  deterministic: bool = True):
         d = h_v.shape[-1]
         dense = lambda name: nn.Dense(d, dtype=self.dtype,
@@ -194,11 +196,30 @@ class EncLayer(nn.Module):
             nbr_part = gather_nodes_oh(h_v @ w[2 * d:], oh)
             return self_part[:, :, None, :] + edge_part + nbr_part + b
 
-        h_message = dense("W3")(_gelu(dense("W2")(_gelu(
-            message_in("W1", h_v)))))
-        if mask_attend is not None:
-            h_message = mask_attend[..., None] * h_message
-        dh = jnp.sum(h_message, axis=-2) / self.scale
+        def fused_chain(prefix, h_v, want_sum, want_msg, mask):
+            # same math through the Pallas kernel: the [B,L,K,*] chain
+            # (gather included) never leaves VMEM (ops/fused_message.py)
+            w1, b1 = DenseParams(3 * d, d, dtype=self.dtype,
+                                 name=f"W{prefix}1")()
+            w2, b2 = DenseParams(d, d, dtype=self.dtype,
+                                 name=f"W{prefix}2")()
+            w3, b3 = DenseParams(d, d, dtype=self.dtype,
+                                 name=f"W{prefix}3")()
+            pre_self = h_v @ w1[:d] + b1
+            nbr_src = h_v @ w1[2 * d:]
+            return fused_message_mlp(
+                pre_self, h_e, nbr_src, e_idx, w1[d:2 * d], w2, b2, w3, b3,
+                mask=mask, mask_mode="post" if mask is not None else "none",
+                scale=self.scale, want_sum=want_sum, want_msg=want_msg)
+
+        if self.fused:
+            dh, _ = fused_chain("", h_v, True, False, mask_attend)
+        else:
+            h_message = dense("W3")(_gelu(dense("W2")(_gelu(
+                message_in("W1", h_v)))))
+            if mask_attend is not None:
+                h_message = mask_attend[..., None] * h_message
+            dh = jnp.sum(h_message, axis=-2) / self.scale
         h_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h_v + drop(dh))
 
         dh = PositionWiseFeedForward(4 * d, dtype=self.dtype, name="dense")(h_v)
@@ -206,8 +227,11 @@ class EncLayer(nn.Module):
         if mask_v is not None:
             h_v = mask_v[..., None] * h_v
 
-        h_message = dense("W13")(_gelu(dense("W12")(_gelu(
-            message_in("W11", h_v)))))
+        if self.fused:
+            _, h_message = fused_chain("1", h_v, False, True, None)
+        else:
+            h_message = dense("W13")(_gelu(dense("W12")(_gelu(
+                message_in("W11", h_v)))))
         h_e = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(h_e + drop(h_message))
         return h_v, h_e
 
@@ -218,10 +242,11 @@ class DecLayer(nn.Module):
 
     dropout: float = 0.1
     scale: float = 30.0
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h_v, h_es, oh, mask_edge=None, mask_v=None,
+    def __call__(self, h_v, h_es, oh, e_idx, mask_edge=None, mask_v=None,
                  deterministic: bool = True):
         d = h_v.shape[-1]
         dense = lambda dim, name: nn.Dense(dim, dtype=self.dtype,
@@ -232,13 +257,31 @@ class DecLayer(nn.Module):
         # kernel slices (mask is a per-row scalar, so it distributes over the
         # matmul); the [B,L,K,4d] concat never materializes.
         w1, b1 = DenseParams(4 * d, d, dtype=self.dtype, name="W1")()
-        es_part = h_es @ w1[d:3 * d]
-        nbr_part = gather_nodes_oh(h_v @ w1[3 * d:], oh)
-        edge_terms = es_part + nbr_part
-        if mask_edge is not None:
-            edge_terms = mask_edge * edge_terms
-        pre = (h_v @ w1[:d])[:, :, None, :] + edge_terms + b1
-        h_message = dense(d, "W3")(_gelu(dense(d, "W2")(_gelu(pre))))
+        if self.fused:
+            w2, b2 = DenseParams(d, d, dtype=self.dtype, name="W2")()
+            w3, b3 = DenseParams(d, d, dtype=self.dtype, name="W3")()
+            pre_self = h_v @ w1[:d] + b1
+            nbr_src = h_v @ w1[3 * d:]
+            mask_k = None
+            mode = "none"
+            if mask_edge is not None:
+                b_, l_, k_ = e_idx.shape
+                mask_k = jnp.broadcast_to(
+                    mask_edge.reshape(b_, l_, -1)[:, :, :1], (b_, l_, k_))
+                mode = "pre"
+            dh_fused, h_message = fused_message_mlp(
+                pre_self, h_es, nbr_src, e_idx, w1[d:3 * d], w2, b2, w3, b3,
+                mask=mask_k, mask_mode=mode, scale=self.scale,
+                want_sum=True, want_msg=True)
+        else:
+            dh_fused = None
+            es_part = h_es @ w1[d:3 * d]
+            nbr_part = gather_nodes_oh(h_v @ w1[3 * d:], oh)
+            edge_terms = es_part + nbr_part
+            if mask_edge is not None:
+                edge_terms = mask_edge * edge_terms
+            pre = (h_v @ w1[:d])[:, :, None, :] + edge_terms + b1
+            h_message = dense(d, "W3")(_gelu(dense(d, "W2")(_gelu(pre))))
 
         # edge update: h_ES <- LN(h_ES + MLP([h_message, h_ES]))
         de_in = jnp.concatenate([h_message, h_es], axis=-1)
@@ -249,7 +292,8 @@ class DecLayer(nn.Module):
         h_es_new = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_edge")(
             h_es + drop(de))
 
-        dh = jnp.sum(h_message, axis=-2) / self.scale
+        dh = dh_fused if dh_fused is not None \
+            else jnp.sum(h_message, axis=-2) / self.scale
         h_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h_v + drop(dh))
         dh = PositionWiseFeedForward(4 * d, dtype=self.dtype, name="dense")(h_v)
         h_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h_v + drop(dh))
@@ -293,6 +337,9 @@ class ProteinMPNNFMIF(nn.Module):
     pair_dim: int = 128
     structure_dim: int = 768
     mdlm_parameterization: bool = False
+    # route the message-MLP chains through the fused Pallas kernel
+    # (ops/fused_message.py); parameter tree is unchanged
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -328,9 +375,11 @@ class ProteinMPNNFMIF(nn.Module):
             if cls_emb is not None:
                 h_v = h_v + nn.Dense(self.hidden_dim, dtype=self.dtype,
                                      name=f"cls_layers_enc_{i}")(cls_emb)[:, None, :]
-            h_v, h_e = EncLayer(self.dropout, dtype=self.dtype,
+            h_v, h_e = EncLayer(self.dropout, fused=self.fused,
+                                dtype=self.dtype,
                                 name=f"encoder_layers_{i}")(
-                h_v, h_e, oh, mask, mask_attend, deterministic=deterministic)
+                h_v, h_e, oh, e_idx, mask, mask_attend,
+                deterministic=deterministic)
 
         zs_structure_raw = h_v
 
@@ -352,9 +401,10 @@ class ProteinMPNNFMIF(nn.Module):
             if cls_emb is not None:
                 h_v = h_v + nn.Dense(self.hidden_dim, dtype=self.dtype,
                                      name=f"cls_layers_dec_{i}")(cls_emb)[:, None, :]
-            h_v, h_es_new = DecLayer(self.dropout, dtype=self.dtype,
+            h_v, h_es_new = DecLayer(self.dropout, fused=self.fused,
+                                     dtype=self.dtype,
                                      name=f"decoder_layers_{i}")(
-                h_v, h_es, oh, mask_edge=mask_1d, mask_v=mask,
+                h_v, h_es, oh, e_idx, mask_edge=mask_1d, mask_v=mask,
                 deterministic=deterministic)
             if self.update_edge:
                 h_es = h_es_new

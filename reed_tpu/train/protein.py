@@ -69,11 +69,24 @@ class ProteinTrainConfig:
     # fusion into the dW convolutions measurably dominates over the dropout
     # masks themselves (device trace: ~30 ms/step of a 355 ms step at bs64)
     rng_impl: str = "threefry"
+    # fused Pallas message-MLP kernel (ops/fused_message.py). Measured on
+    # v5e at the bench config (bs64/L256/bf16): the fused step is SLOWER
+    # (83k vs 107k tok/s with rbg dropout) — the chain is compute-bound at
+    # this chip's ~320 flop/byte balance (127 TF/s : 400 GB/s measured), so
+    # XLA's full-tensor convolutions beat per-tile kernel dots and the
+    # saved HBM traffic doesn't pay. Default "auto" therefore resolves to
+    # OFF; "on" opts in (exactness pinned by tests/test_fused_message.py).
+    fused_messages: str = "auto"
     seed: int = 0
+
+
+def _resolve_fused(mode: str) -> bool:
+    return mode == "on"
 
 
 def build_model(cfg: ProteinTrainConfig) -> ProteinMPNNFMIF:
     return ProteinMPNNFMIF(
+        fused=_resolve_fused(cfg.fused_messages),
         hidden_dim=cfg.hidden_dim,
         edge_features=cfg.hidden_dim,
         num_encoder_layers=cfg.num_encoder_layers,

@@ -197,9 +197,9 @@ def test_dec_layer_factored_matches_direct_concat():
             ).astype(jnp.float32)
     oh = neighbor_onehot(e_idx, l)
     layer = DecLayer(dropout=0.0)
-    variables = layer.init(jax.random.PRNGKey(5), h_v, h_es, oh,
+    variables = layer.init(jax.random.PRNGKey(5), h_v, h_es, oh, e_idx,
                            mask_edge=mask[:, :, None, None], mask_v=mask)
-    out_v, out_es = layer.apply(variables, h_v, h_es, oh,
+    out_v, out_es = layer.apply(variables, h_v, h_es, oh, e_idx,
                                 mask_edge=mask[:, :, None, None], mask_v=mask)
 
     # direct reference formula for the W1 input (model_utils.py:344-390)

@@ -75,21 +75,29 @@ def bench_protein():
     # reference token budget 20,000 / L=256 ~ 78 chains; bs 64 fits v5e.
     # bf16 layers with f32-pinned logits/log-softmax and coordinate/RBF
     # featurization (the model already pins those): 1.19x over f32,
-    # trains to recovery 1.0 (CONVERGENCE_PROTEIN_BF16.json)
+    # trains to recovery 1.0 (CONVERGENCE_PROTEIN_BF16.json). rbg dropout
+    # bits: 1.16x over threefry (trace: threefry bit-gen fused into the dW
+    # convolutions); convergence-validated (CONVERGENCE_PROTEIN_RBG.json)
     cfg = ProteinTrainConfig(batch_size=64, max_len=256,
-                             compute_dtype="bfloat16",
+                             compute_dtype="bfloat16", rng_impl="rbg",
                              mesh=MeshConfig(data=1))
-    per_step, perf = _time_steps(ProteinTrainer(cfg))
+    trainer = ProteinTrainer(cfg)
+    per_step, perf = _time_steps(trainer, rng=trainer.train_rng)
     toks = cfg.batch_size * cfg.max_len
     return {"domain": "protein-fmif", "unit": "tokens/sec",
             "value": round(toks / per_step, 1), **perf,
-            "config": "hidden 128, 3+3 layers, k30, L256, bs64, bf16",
+            "config": "hidden 128, 3+3 layers, k30, L256, bs64, bf16, rbg",
             "bottleneck": "r3 trace showed kCustom dynamic gathers at "
             "~20 GB/s effective plus [B,L,K,384] concat materializations "
             "dominating the 355 ms step; rewriting every neighbor gather "
             "as a one-hot einsum (MXU) and computing the message-MLP "
             "first Dense through kernel slices (concat never built) "
-            "doubled throughput: 45.7k -> 92.5k tok/s"}
+            "doubled throughput: 45.7k -> 92.5k tok/s. Session 4: rbg "
+            "dropout bits buy a further 1.16x (107k); a fused Pallas "
+            "message-chain kernel was built and measured SLOWER (83k) — "
+            "the chain is compute-bound at this chip's measured 127 TF/s "
+            ": 400 GB/s balance, so XLA's full-tensor convolutions win "
+            "(ops/fused_message.py, opt-in via fused_messages='on')"}
 
 
 def bench_semla():

@@ -142,11 +142,17 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "config": {"batch_size": args.batch_size, "length": args.length,
                    "hidden": args.hidden, "lr": args.lr,
-                   "dtype": args.dtype,
+                   "dtype": args.dtype, "rng_impl": args.rng_impl,
+                   "dropout": args.dropout,
                    "sampler_steps": args.sampler_steps},
         "loss_curve": losses,
         "command": "python tools/convergence_protein.py"
-                   + (" --tiny --cpu" if args.tiny else ""),
+                   + (" --tiny --cpu" if args.tiny else "")
+                   + (f" --dtype {args.dtype}"
+                      if args.dtype != "float32" else "")
+                   + (f" --rng-impl {args.rng_impl}"
+                      if args.rng_impl != "threefry" else "")
+                   + (f" --dropout {args.dropout}" if args.dropout else ""),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
