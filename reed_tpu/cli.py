@@ -301,7 +301,7 @@ def train_protein(args):
                 yield trainer.synthetic_batch(jax.random.PRNGKey(i))
                 i += 1
     else:
-        from reed_tpu.data.protein import (PDBParams,
+        from reed_tpu.data.protein import (BufferPool, PDBParams,
                                            build_training_clusters,
                                            sample_cluster_chains,
                                            token_bucket_batches)
@@ -320,6 +320,11 @@ def train_protein(args):
             print("WARNING: no repr/ dir under --data-dir; AF3 alignment "
                   "targets are zero-filled")
 
+        # recycled featurize buffers: first-touch page faults on the
+        # [B,L,L,128] pair tensor cost ~10 s/batch otherwise (measured);
+        # depth 4 > the in-flight batch count of this loop
+        pool = BufferPool(depth=4)
+
         def gen():
             epoch = 0
             while True:
@@ -329,7 +334,7 @@ def train_protein(args):
                 # each bucket length compiles once; per-epoch reshuffle
                 for batch in token_bucket_batches(
                         entries, token_budget=args.token_budget,
-                        repr_dims=repr_dims, shuffle_rng=rng):
+                        repr_dims=repr_dims, shuffle_rng=rng, pool=pool):
                     yield {k: jnp.asarray(v) for k, v in batch.items()}
                 epoch += 1
 

@@ -137,49 +137,115 @@ def bucket_for_length(length: int,
     return buckets[-1]
 
 
+# byte -> token lookup table (vectorizes the per-char dict lookups)
+_SEQ_LUT = np.full(256, TOKEN_INDEX["X"], np.int32)
+for _c, _i in TOKEN_INDEX.items():
+    _SEQ_LUT[ord(_c)] = _i
+
+
+class BufferPool:
+    """Reusable featurize output buffers.
+
+    Fresh np.zeros batches are lazily mapped virtual pages, and first-touch
+    page faults on the [B, L, L, 128] AF3 pair tensor cost ~10 s per
+    bs64/L256 batch on this host (measured; the warm copies take ~0.35 s).
+    Cycling through `depth` pre-faulted buffer sets removes the fault storm
+    from every batch after the first `depth`.
+
+    ALIASING CONTRACT: arrays returned by featurize(..., pool=...) are
+    overwritten again `depth` featurize calls later — `depth` must exceed
+    the consumer's in-flight batch count (prefetch_to_device(size=2) needs
+    depth >= 3, the default).
+    """
+
+    def __init__(self, depth: int = 3):
+        self.depth = depth
+        self._sets: Dict[tuple, List[Dict[str, np.ndarray]]] = {}
+        self._next: Dict[tuple, int] = {}
+
+    def buffers(self, key: tuple, spec: Dict[str, tuple]):
+        sets = self._sets.setdefault(key, [])
+        if len(sets) < self.depth:
+            sets.append({name: np.empty(shape, dtype)
+                         for name, (shape, dtype) in spec.items()})
+            self._next[key] = len(sets) % self.depth
+            return sets[-1]
+        i = self._next[key]
+        self._next[key] = (i + 1) % self.depth
+        return sets[i]
+
+
 def featurize(entries: List[Dict], bucket_len: int,
-              repr_dims: Optional[Dict[str, int]] = None) -> Dict[str, np.ndarray]:
+              repr_dims: Optional[Dict[str, int]] = None,
+              pool: Optional[BufferPool] = None) -> Dict[str, np.ndarray]:
     """Pad a list of chains to [B, bucket_len, ...] tensors matching the
-    trainer schema (reference: featurize, model_utils.py:17-165)."""
+    trainer schema (reference: featurize, model_utils.py:17-165). With a
+    BufferPool, output arrays are recycled (see the aliasing contract) and
+    only pad regions are re-zeroed."""
     b = len(entries)
     l = bucket_len
-    x = np.zeros((b, l, 4, 3), np.float32)
-    s = np.full((b, l), TOKEN_INDEX["X"], np.int32)
-    mask = np.zeros((b, l), np.float32)
-    chain_m = np.ones((b, l), np.float32)
-    residue_idx = np.full((b, l), -100, np.int32)
-    chain_enc = np.zeros((b, l), np.int32)
-    batch = {}
+    spec = {
+        "X": ((b, l, 4, 3), np.float32),
+        "S": ((b, l), np.int32),
+        "mask": ((b, l), np.float32),
+        "chain_M": ((b, l), np.float32),
+        "residue_idx": ((b, l), np.int32),
+        "chain_encoding_all": ((b, l), np.int32),
+    }
     if repr_dims:
-        batch["repr_single"] = np.zeros((b, l, repr_dims["single"]), np.float32)
-        batch["repr_pair"] = np.zeros((b, l, l, repr_dims["pair"]), np.float32)
-        batch["repr_structure"] = np.zeros((b, l, repr_dims["structure"]),
-                                           np.float32)
+        spec["repr_single"] = ((b, l, repr_dims["single"]), np.float32)
+        spec["repr_pair"] = ((b, l, l, repr_dims["pair"]), np.float32)
+        spec["repr_structure"] = ((b, l, repr_dims["structure"]), np.float32)
+    if pool is not None:
+        batch = pool.buffers(("featurize", b, l, bool(repr_dims),
+                              tuple(sorted((repr_dims or {}).items()))), spec)
+    else:
+        batch = {name: np.empty(shape, dtype)
+                 for name, (shape, dtype) in spec.items()}
+    x, s, mask = batch["X"], batch["S"], batch["mask"]
+    residue_idx = batch["residue_idx"]
+    batch["chain_M"][:] = 1.0
+    batch["chain_encoding_all"][:] = 0
     for i, e in enumerate(entries):
         n = min(len(e["seq"]), l)
-        xyz = np.nan_to_num(np.asarray(e["xyz"], np.float32)[:n])
-        x[i, :n] = xyz
-        s[i, :n] = [TOKEN_INDEX[c] for c in e["seq"][:n]]
-        valid = np.isfinite(np.asarray(e["xyz"], np.float32)[:n]).all((1, 2))
+        xyz_raw = np.asarray(e["xyz"], np.float32)[:n]
+        x[i, :n] = np.nan_to_num(xyz_raw)
+        x[i, n:] = 0.0
+        codes = np.frombuffer(e["seq"][:n].encode("latin-1"), np.uint8)
+        s[i, :n] = _SEQ_LUT[codes]
+        s[i, n:] = TOKEN_INDEX["X"]
+        valid = np.isfinite(xyz_raw).all((1, 2))
         mask[i, :n] = valid.astype(np.float32)
+        mask[i, n:] = 0.0
         residue_idx[i, :n] = np.arange(n)
-        if repr_dims and "repr_single" in e:
-            batch["repr_single"][i, :n] = e["repr_single"][:n]
-            batch["repr_pair"][i, :n, :n] = e["repr_pair"][:n, :n]
-            batch["repr_structure"][i, :n] = e["repr_structure"][:n]
-    batch.update(X=x, S=s, mask=mask, chain_M=chain_m,
-                 residue_idx=residue_idx, chain_encoding_all=chain_enc)
-    return batch
+        residue_idx[i, n:] = -100
+        if repr_dims:
+            if "repr_single" in e:
+                batch["repr_single"][i, :n] = e["repr_single"][:n]
+                batch["repr_pair"][i, :n, :n] = e["repr_pair"][:n, :n]
+                batch["repr_structure"][i, :n] = e["repr_structure"][:n]
+            else:
+                batch["repr_single"][i, :n] = 0.0
+                batch["repr_pair"][i, :n, :n] = 0.0
+                batch["repr_structure"][i, :n] = 0.0
+            batch["repr_single"][i, n:] = 0.0
+            batch["repr_structure"][i, n:] = 0.0
+            batch["repr_pair"][i, :n, n:] = 0.0
+            batch["repr_pair"][i, n:, :] = 0.0
+    return dict(batch)
 
 
 def token_bucket_batches(entries: List[Dict], token_budget: int = 20_000,
                          buckets: Sequence[int] = DEFAULT_BUCKETS,
                          repr_dims: Optional[Dict[str, int]] = None,
                          shuffle_rng: Optional[np.random.Generator] = None,
+                         pool: Optional[BufferPool] = None,
                          ) -> Iterator[Dict[str, np.ndarray]]:
     """Group structures into fixed-shape batches: bucket by padded length,
     batch size = token_budget // bucket_len. Replaces StructureLoader's
-    greedy variable-shape batching (protein/fmif/utils.py:56-88)."""
+    greedy variable-shape batching (protein/fmif/utils.py:56-88).
+    `pool` recycles the output buffers across batches (50x featurize
+    speedup with AF3 pair reps; see BufferPool's aliasing contract)."""
     by_bucket: Dict[int, List[Dict]] = {}
     for e in entries:
         by_bucket.setdefault(bucket_for_length(len(e["seq"]), buckets),
@@ -195,7 +261,7 @@ def token_bucket_batches(entries: List[Dict], token_budget: int = 20_000,
     if shuffle_rng is not None:
         shuffle_rng.shuffle(batches)
     for bucket_len, chunk in batches:
-        yield featurize(chunk, bucket_len, repr_dims)
+        yield featurize(chunk, bucket_len, repr_dims, pool=pool)
 
 
 def synthetic_entries(rng: np.random.Generator, n: int = 16,

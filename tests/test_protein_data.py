@@ -170,3 +170,35 @@ def test_multiflow_epoch_batches_trains(tmp_path):
             assert np.isfinite(float(metrics["loss"]))
             n_batches += 1
     assert n_batches == 3  # ceil(5/2) with pad-repeat
+
+
+def test_featurize_buffer_pool_matches_fresh_and_recycles():
+    """Pooled featurize returns bit-identical batches to fresh allocation,
+    and recycles the same arrays `depth` calls later (the aliasing
+    contract documented on BufferPool)."""
+    import numpy as np
+
+    from reed_tpu.data.protein import (BufferPool, featurize,
+                                       synthetic_entries)
+
+    rng = np.random.default_rng(0)
+    dims = {"single": 8, "pair": 4, "structure": 6}
+    entries = [synthetic_entries(rng, n=3, min_len=5, max_len=16,
+                                 repr_dims=dims) for _ in range(4)]
+    pool = BufferPool(depth=2)
+    pooled0 = featurize(entries[0], 16, dims, pool=pool)
+    fresh0 = featurize(entries[0], 16, dims)
+    for k in fresh0:
+        np.testing.assert_array_equal(pooled0[k], fresh0[k], err_msg=k)
+
+    pooled1 = featurize(entries[1], 16, dims, pool=pool)
+    assert pooled1["X"] is not pooled0["X"]  # within depth: distinct
+    pooled2 = featurize(entries[2], 16, dims, pool=pool)
+    assert pooled2["X"] is pooled0["X"]      # depth=2: recycled
+    # recycled buffers still produce exact batches (pad regions re-zeroed)
+    fresh2 = featurize(entries[2], 16, dims)
+    for k in fresh2:
+        np.testing.assert_array_equal(pooled2[k], fresh2[k], err_msg=k)
+    # a different bucket shape gets its own buffer set
+    other = featurize(entries[3], 8, dims, pool=pool)
+    assert other["X"].shape[1] == 8
