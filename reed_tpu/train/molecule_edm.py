@@ -11,6 +11,7 @@ batch sharding over the 'data' mesh axis.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -245,29 +246,32 @@ class MoleculeEDMTrainer:
                 prop, (bs, n, cfg.context_node_nf)) * node_mask
         return batch
 
-    def sample(self, params, rng, n_samples, node_mask, edge_mask, rep=None,
-               cfg_scale=None, context=None, gamma_params=None):
-        """gamma_params: converted/trained GammaNetwork params for the
-        'learned' noise schedule (reference en_diffusion.py:208);
-        None = the configured table schedule."""
-        cfg_copy = EDMConfig(**{**self.cfg.edm.__dict__,
-                                "cfg_scale": cfg_scale,
-                                "in_node_nf": self.cfg.num_atom_types
-                                + int(self.cfg.include_charges),
-                                "include_charges": self.cfg.include_charges})
+    @functools.cached_property
+    def _sample_jit(self):
+        """Built once per trainer (a jit defined inside sample() would
+        recompile on every call — one remote compile per eval batch).
+        cfg_scale is static; gamma_params is a traced argument so learned-
+        schedule weights are never baked into the lowering as constants."""
         efm_cfg = _efm_cfg(self.cfg)
         use_fm = self.cfg.probabilistic_model == "fm"
-        if gamma_params is not None:
-            from reed_tpu.diffusion.edm import GammaNetwork
 
-            def gamma_fn(t, _gp=gamma_params):
-                return GammaNetwork.apply(_gp, t)
-        else:
-            gamma_fn = None
+        @functools.partial(jax.jit, static_argnames=("cfg_scale",))
+        def _sample(params, rng, node_mask, edge_mask, rep, context,
+                    gamma_params, cfg_scale=None):
+            cfg_copy = EDMConfig(**{**self.cfg.edm.__dict__,
+                                    "cfg_scale": cfg_scale,
+                                    "in_node_nf": self.cfg.num_atom_types
+                                    + int(self.cfg.include_charges),
+                                    "include_charges":
+                                    self.cfg.include_charges})
+            if gamma_params is not None:
+                from reed_tpu.diffusion.edm import GammaNetwork
 
-        # params threaded through jit (closure would bake them as constants)
-        @jax.jit
-        def _sample(params, rng, node_mask, edge_mask, rep, context):
+                def gamma_fn(t, _gp=gamma_params):
+                    return GammaNetwork.apply(_gp, t)
+            else:
+                gamma_fn = None
+
             def dynamics_fn(t, z, nm, em, ctx, r, drng, train):
                 return self.model.apply({"params": params}, t, z, nm, em,
                                         context=ctx, rep=r, train=False)
@@ -288,4 +292,13 @@ class MoleculeEDMTrainer:
             return edm.sample(rng, node_mask.shape[0], node_mask.shape[1],
                               node_mask, edge_mask, context=context, rep=rep)
 
-        return _sample(params, rng, node_mask, edge_mask, rep, context)
+        return _sample
+
+    def sample(self, params, rng, n_samples, node_mask, edge_mask, rep=None,
+               cfg_scale=None, context=None, gamma_params=None):
+        """gamma_params: converted/trained GammaNetwork params for the
+        'learned' noise schedule (reference en_diffusion.py:208);
+        None = the configured table schedule."""
+        del n_samples  # shapes come from node_mask
+        return self._sample_jit(params, rng, node_mask, edge_mask, rep,
+                                context, gamma_params, cfg_scale=cfg_scale)

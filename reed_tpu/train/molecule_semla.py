@@ -12,6 +12,7 @@ Generation is the Integrator under lax.scan (linear or log schedule).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Sequence
 
@@ -356,19 +357,24 @@ class SemlaTrainer:
         cond = {"coords": jnp.zeros_like(prior["coords"]),
                 "atomics": jnp.zeros_like(prior["atomics"]),
                 "bonds": jnp.zeros_like(prior["bonds"])}
-        return self._generate_jit(params, rng, prior, rep, cond, times_arr,
-                                  sizes_arr, steps, time_points)
+        return self._generate_run(params, rng, prior, rep, cond, times_arr,
+                                  sizes_arr, steps=steps,
+                                  t_final=float(time_points[-2]))
 
-    def _generate_jit(self, params, rng, prior, rep, cond, times_arr,
-                      sizes_arr, steps, time_points):
+    @functools.cached_property
+    def _generate_run(self):
+        """Built once per trainer: a jit defined inside generate() would
+        throw away its compile cache on every call (one full remote
+        recompile per eval batch). params/rng/prior/rep enter as jit
+        arguments (closures would bake every weight into the lowered
+        module as a constant)."""
         cfg = self.cfg
-        b = prior["coords"].shape[0]
-        t_final = float(time_points[-2])
 
-        # params/rng/prior/rep enter as jit arguments (closures would bake
-        # every weight into the lowered module as a constant)
-        @jax.jit
-        def run(params, rng, prior, rep, cond):
+        @functools.partial(jax.jit, static_argnames=("steps", "t_final"))
+        def run(params, rng, prior, rep, cond, times_arr, sizes_arr,
+                steps, t_final):
+            b = prior["coords"].shape[0]
+
             def predict(curr, t_vec, cond_batch):
                 coords, tl, bl, cl, _ = self.model.apply(
                     {"params": params}, curr["coords"], curr["atomics"],
@@ -403,7 +409,7 @@ class SemlaTrainer:
             final["mask"] = prior["mask"]
             return final
 
-        return run(params, rng, prior, rep, cond)
+        return run
 
     def sample_prior(self, rng_np: np.random.Generator, mask: np.ndarray):
         return {k: jnp.asarray(v) for k, v in sample_prior_batch(

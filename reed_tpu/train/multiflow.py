@@ -9,6 +9,7 @@ jitted train step; Lightning DDP replaced by batch sharding on 'data'.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -244,10 +245,14 @@ class MultiflowTrainer:
                     self.cfg.interpolant.trans_scale))
         return batch
 
-    def sample(self, params, rng, batch_size, length, num_timesteps=None):
-        # params threaded through jit (closure would bake them as constants)
-        @jax.jit
-        def _sample(params, rng):
+    @functools.cached_property
+    def _sample_jit(self):
+        """Built once per trainer (a jit defined inside sample() would
+        recompile on every call — one remote compile per eval batch)."""
+
+        @functools.partial(jax.jit, static_argnames=("batch_size", "length",
+                                                     "num_timesteps"))
+        def _sample(params, rng, batch_size, length, num_timesteps=None):
             def model_fn(batch):
                 return self.model.apply({"params": params}, batch)
 
@@ -256,4 +261,9 @@ class MultiflowTrainer:
                               (batch_size, length), res_mask,
                               num_timesteps=num_timesteps)
 
-        return _sample(params, rng)
+        return _sample
+
+    def sample(self, params, rng, batch_size, length, num_timesteps=None):
+        # params threaded through jit (closure would bake them as constants)
+        return self._sample_jit(params, rng, batch_size=batch_size,
+                                length=length, num_timesteps=num_timesteps)

@@ -9,6 +9,7 @@ for conditional-generation MAE (eval_src/eval_conditional_qm9.py).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Iterator, Optional, Tuple
 
@@ -139,16 +140,23 @@ class PropertyTrainer:
         return {"one_hot": one_hot, "positions": x, "node_mask": node_mask,
                 "edge_mask": edge_mask, "label": label}
 
-    def predict(self, params, one_hot, positions, node_mask, edge_mask,
-                denormalize: bool = True):
-        """Property prediction; with denormalize=True returns values in
-        label units (reference eval: mad * pred + mean,
-        main_qm9_prop.py:92-94)."""
+    @functools.cached_property
+    def _fwd_jit(self):
+        # built once per trainer: a jit defined inside predict() would
+        # recompile on every call (predict runs per batch in eval loops)
         @jax.jit
         def _fwd(params, one_hot, positions, node_mask, edge_mask):
             return self.model.apply({"params": params}, one_hot, positions,
                                     node_mask, edge_mask)
 
+        return _fwd
+
+    def predict(self, params, one_hot, positions, node_mask, edge_mask,
+                denormalize: bool = True):
+        """Property prediction; with denormalize=True returns values in
+        label units (reference eval: mad * pred + mean,
+        main_qm9_prop.py:92-94)."""
+        _fwd = self._fwd_jit
         # inputs may come from another trainer's device layout; replicate
         # them onto this trainer's mesh so jit sees one device set
         rep = meshlib.replicated(self.mesh)

@@ -223,10 +223,11 @@ class ProteinTrainer:
             rng if rng is not None else jax.random.PRNGKey(1),
             batch_size or cfg.batch_size, length or cfg.max_len, cfg)
 
-    def sample(self, params, batch, rng, cls=None, w=None):
-        """Euler unmasking sampling conditioned on the backbone. Params are
-        a jit argument (closing over them bakes weights into the lowering
-        as constants — pathological on remote-tunnel TPU transports)."""
+    @functools.cached_property
+    def _sample_jit(self):
+        """Built once per trainer: defining the jit inside sample() would
+        discard the compile cache on every call (a full remote recompile
+        per eval batch on the axon transport)."""
         cfg = self.cfg
 
         @functools.partial(jax.jit, static_argnames=("cls", "w"))
@@ -241,7 +242,13 @@ class ProteinTrainer:
             return euler_unmask_sampler(logits_fn, rng, batch["S"].shape,
                                         cfg.interpolant, cls=cls, w=w)
 
-        return _sample(params, batch, rng, cls=cls, w=w)
+        return _sample
+
+    def sample(self, params, batch, rng, cls=None, w=None):
+        """Euler unmasking sampling conditioned on the backbone. Params are
+        a jit argument (closing over them bakes weights into the lowering
+        as constants — pathological on remote-tunnel TPU transports)."""
+        return self._sample_jit(params, batch, rng, cls=cls, w=w)
 
 
 def synthetic_protein_batch(rng, batch_size: int, length: int,
