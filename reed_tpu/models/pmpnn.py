@@ -345,41 +345,56 @@ class ProteinMPNNFMIF(nn.Module):
     @nn.compact
     def __call__(self, x, s, mask, chain_m, residue_idx, chain_encoding_all,
                  cls=None, return_rep: bool = False, train: bool = False,
-                 detach_repr: bool = False):
+                 detach_repr: bool = False, enc_state=None,
+                 return_enc: bool = False):
         """x [B,L,4,3], s [B,L] tokens (or [B,L,22] soft one-hot for the
         differentiable sampler), masks [B,L]. Returns log_probs [B,L,22]
-        (+ zs_single, zs_pair, zs_structure, e_idx when return_rep)."""
+        (+ zs_single, zs_pair, zs_structure, e_idx when return_rep).
+
+        Sampling-loop hoisting: the features + encoder stack depend only on
+        the backbone (and cls), not on the evolving tokens s — pass
+        return_enc=True to get (h_v, h_e, e_idx, oh) once, then thread it
+        back as enc_state on every sampler step so only the decoder runs
+        per step (the reference recomputes the full model each step,
+        fm_utils.py:89-143)."""
         deterministic = not train
-        e, e_idx, oh = ProteinFeatures(self.edge_features, self.k_neighbors,
-                                       augment_eps=self.augment_eps,
-                                       dtype=self.dtype, name="features")(
-            x, mask, residue_idx, chain_encoding_all, train=train)
-
-        node_init = self.param("node_embeds",
-                               nn.initializers.zeros, (self.hidden_dim,))
-        if not self.learnable_node:
-            node_init = jax.lax.stop_gradient(node_init)
-        h_v = jnp.broadcast_to(node_init.astype(self.dtype),
-                               e.shape[:2] + (self.hidden_dim,))
-        h_e = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                       kernel_init=xavier_uniform, name="W_e")(e)
-
         cls_emb = None
         if self.use_cfg and cls is not None:
             cls_emb = nn.Embed(self.num_cls + 1, self.hidden_dim,
                                dtype=self.dtype, name="cls_embedder")(cls)
 
-        mask_attend = gather_scalar_oh(mask, oh)
-        mask_attend = mask[..., None] * mask_attend
-        for i in range(self.num_encoder_layers):
-            if cls_emb is not None:
-                h_v = h_v + nn.Dense(self.hidden_dim, dtype=self.dtype,
-                                     name=f"cls_layers_enc_{i}")(cls_emb)[:, None, :]
-            h_v, h_e = EncLayer(self.dropout, fused=self.fused,
-                                dtype=self.dtype,
-                                name=f"encoder_layers_{i}")(
-                h_v, h_e, oh, e_idx, mask, mask_attend,
-                deterministic=deterministic)
+        if enc_state is not None:
+            h_v, h_e, e_idx, oh = enc_state
+        else:
+            e, e_idx, oh = ProteinFeatures(
+                self.edge_features, self.k_neighbors,
+                augment_eps=self.augment_eps,
+                dtype=self.dtype, name="features")(
+                x, mask, residue_idx, chain_encoding_all, train=train)
+
+            node_init = self.param("node_embeds",
+                                   nn.initializers.zeros, (self.hidden_dim,))
+            if not self.learnable_node:
+                node_init = jax.lax.stop_gradient(node_init)
+            h_v = jnp.broadcast_to(node_init.astype(self.dtype),
+                                   e.shape[:2] + (self.hidden_dim,))
+            h_e = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                           kernel_init=xavier_uniform, name="W_e")(e)
+
+            mask_attend = gather_scalar_oh(mask, oh)
+            mask_attend = mask[..., None] * mask_attend
+            for i in range(self.num_encoder_layers):
+                if cls_emb is not None:
+                    h_v = h_v + nn.Dense(
+                        self.hidden_dim, dtype=self.dtype,
+                        name=f"cls_layers_enc_{i}")(cls_emb)[:, None, :]
+                h_v, h_e = EncLayer(self.dropout, fused=self.fused,
+                                    dtype=self.dtype,
+                                    name=f"encoder_layers_{i}")(
+                    h_v, h_e, oh, e_idx, mask, mask_attend,
+                    deterministic=deterministic)
+            if return_enc:
+                return h_v, h_e, e_idx, oh
 
         zs_structure_raw = h_v
 

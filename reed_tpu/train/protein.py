@@ -232,12 +232,31 @@ class ProteinTrainer:
 
         @functools.partial(jax.jit, static_argnames=("cls", "w"))
         def _sample(params, batch, rng, cls=None, w=None):
-            def logits_fn(tokens, cls_arr):
-                return self.model.apply(
-                    {"params": params}, batch["X"], tokens, batch["mask"],
-                    batch["chain_M"], batch["residue_idx"],
-                    batch["chain_encoding_all"], cls=cls_arr,
-                    return_rep=False, train=False)
+            if cls is None:
+                # encoder depends only on the backbone — hoist it out of
+                # the unmasking loop; each step runs the decoder only
+                enc = self.model.apply(
+                    {"params": params}, batch["X"], batch["S"],
+                    batch["mask"], batch["chain_M"], batch["residue_idx"],
+                    batch["chain_encoding_all"], return_enc=True,
+                    train=False)
+
+                def logits_fn(tokens, cls_arr):
+                    del cls_arr
+                    return self.model.apply(
+                        {"params": params}, batch["X"], tokens,
+                        batch["mask"], batch["chain_M"],
+                        batch["residue_idx"], batch["chain_encoding_all"],
+                        enc_state=enc, return_rep=False, train=False)
+            else:
+                # CFG over fold class: the encoder itself is
+                # class-conditioned (cls_layers_enc), so no hoisting
+                def logits_fn(tokens, cls_arr):
+                    return self.model.apply(
+                        {"params": params}, batch["X"], tokens,
+                        batch["mask"], batch["chain_M"],
+                        batch["residue_idx"], batch["chain_encoding_all"],
+                        cls=cls_arr, return_rep=False, train=False)
 
             return euler_unmask_sampler(logits_fn, rng, batch["S"].shape,
                                         cfg.interpolant, cls=cls, w=w)
