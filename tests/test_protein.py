@@ -218,3 +218,40 @@ def test_dec_layer_factored_matches_direct_concat():
                                np.asarray(direct_pre), atol=1e-5)
     assert out_v.shape == (b, l, d)
     assert out_es.shape == (b, l, k, 2 * d)
+
+
+def test_enc_state_hoisting_matches_full_forward():
+    """Decoder driven from a hoisted encoder state (sampling-loop path)
+    equals the full forward pass for any tokens."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reed_tpu.models.pmpnn import ProteinMPNNFMIF
+    from reed_tpu.train.protein import (ProteinTrainConfig,
+                                        synthetic_protein_batch)
+
+    cfg = ProteinTrainConfig(batch_size=2, max_len=12)
+    batch = synthetic_protein_batch(jax.random.PRNGKey(0), 2, 12, cfg)
+    model = ProteinMPNNFMIF(hidden_dim=32, edge_features=32, k_neighbors=4,
+                            augment_eps=0.0, dropout=0.0)
+    args = (batch["X"], batch["S"], batch["mask"], batch["chain_M"],
+            batch["residue_idx"], batch["chain_encoding_all"])
+    variables = model.init(jax.random.PRNGKey(1), *args)
+    full = model.apply(variables, *args)
+    enc = model.apply(variables, *args, return_enc=True)
+    tokens2 = jnp.roll(batch["S"], 1, axis=1)
+    hoisted = model.apply(variables, batch["X"], batch["S"], batch["mask"],
+                          batch["chain_M"], batch["residue_idx"],
+                          batch["chain_encoding_all"], enc_state=enc)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+    # different tokens through the same enc state == full fwd on them
+    full2 = model.apply(variables, batch["X"], tokens2, batch["mask"],
+                        batch["chain_M"], batch["residue_idx"],
+                        batch["chain_encoding_all"])
+    hoisted2 = model.apply(variables, batch["X"], tokens2, batch["mask"],
+                           batch["chain_M"], batch["residue_idx"],
+                           batch["chain_encoding_all"], enc_state=enc)
+    np.testing.assert_allclose(np.asarray(hoisted2), np.asarray(full2),
+                               rtol=1e-6, atol=1e-6)

@@ -66,21 +66,13 @@ def main():
         float(jax.device_get(m["loss"]))
         jax.profiler.stop_trace()
 
-    # parse: op profile by self time on the device
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # summarize the chrome trace directly (the tensorboard-plugin converter
+    # is broken against this env's protobuf/tensorflow pair)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import trace_summary
 
-    xplanes = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
-                        recursive=True)
-    assert xplanes, f"no xplane under {outdir}"
-    xp = max(xplanes, key=os.path.getmtime)
-    data, _ = rtd.xspace_to_tool_data([xp], "framework_op_stats", {})
-    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # framework_op_stats returns gviz JSON; fall back to printing raw head
-    try:
-        table = rows["data"] if isinstance(rows, dict) and "data" in rows else rows
-        print(json.dumps(table)[:2000])
-    except Exception:
-        print(str(rows)[:2000])
+    sys.argv = ["trace_summary", outdir, "30"]
+    trace_summary.main()
 
 
 if __name__ == "__main__":
