@@ -96,25 +96,37 @@ def euler_maruyama_sampler(model_fn, latents, y, rng, num_steps: int = 20,
     def drift(x_cur, t_cur):
         b = x_cur.shape[0]
         t_b = jnp.full((b,) + (1,) * (x_cur.ndim - 1), t_cur, jnp.float32)
-        if cfg_scale <= 1.0:
+
+        def unguided(x_cur):
             v = model_fn(x_cur, jnp.full((b,), t_cur, jnp.float32), y
                          ).astype(jnp.float32)
             s = score_from_velocity(v, x_cur, t_b, path_type)
             return v - 0.5 * diffusion_coefficient(t_cur) * s
-        y_null = jnp.full_like(y, num_classes)
-        x_in = jnp.concatenate([x_cur, x_cur], axis=0)
-        y_in = jnp.concatenate([y, y_null], axis=0)
-        t_in = jnp.full((2 * b,), t_cur, jnp.float32)
-        v = model_fn(x_in, t_in, y_in).astype(jnp.float32)
-        # score conversion happens on the duplicated batch, then guidance on
-        # the drift (reference order: samplers.py:150-154)
-        t_b2 = jnp.full((2 * b,) + (1,) * (x_cur.ndim - 1), t_cur, jnp.float32)
-        s = score_from_velocity(v, x_in, t_b2, path_type)
-        d = v - 0.5 * diffusion_coefficient(t_cur) * s
-        d_cond, d_uncond = jnp.split(d, 2, axis=0)
-        guided = d_uncond + cfg_scale * (d_cond - d_uncond)
+
+        if cfg_scale <= 1.0:
+            return unguided(x_cur)
+
+        def guided(x_cur):
+            y_null = jnp.full_like(y, num_classes)
+            x_in = jnp.concatenate([x_cur, x_cur], axis=0)
+            y_in = jnp.concatenate([y, y_null], axis=0)
+            t_in = jnp.full((2 * b,), t_cur, jnp.float32)
+            v = model_fn(x_in, t_in, y_in).astype(jnp.float32)
+            # score conversion happens on the duplicated batch, then guidance
+            # on the drift (reference order: samplers.py:150-154)
+            t_b2 = jnp.full((2 * b,) + (1,) * (x_cur.ndim - 1), t_cur,
+                            jnp.float32)
+            s = score_from_velocity(v, x_in, t_b2, path_type)
+            d = v - 0.5 * diffusion_coefficient(t_cur) * s
+            d_cond, d_uncond = jnp.split(d, 2, axis=0)
+            return d_uncond + cfg_scale * (d_cond - d_uncond)
+
+        # lax.cond so steps outside the guidance interval pay ONE model call
+        # instead of the duplicated-batch pass whose result jnp.where would
+        # discard (the unguided drift equals d_cond exactly: SiT has no
+        # cross-batch ops). Same structure as _guided_velocity above.
         in_window = (t_cur <= guidance_high) & (t_cur >= guidance_low)
-        return jnp.where(in_window, guided, d_cond)
+        return jax.lax.cond(in_window, guided, unguided, x_cur)
 
     def body(x_cur, i):
         t_cur, t_next = t_steps[i], t_steps[i + 1]

@@ -91,3 +91,32 @@ def test_sampler_determinism():
     b = euler_maruyama_sampler(exact_velocity_model, x1, y,
                                jax.random.PRNGKey(7), num_steps=16)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sde_guidance_interval_restricts_cfg():
+    # SDE counterpart of the ODE interval test: the windowed run must land
+    # strictly between unguided and fully-guided, and the out-of-window
+    # branch (lax.cond single-batch path) must equal the conditional drift.
+    def model(x, t, y):
+        shift = (y == 1).astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+        return exact_velocity_model(x, t, y) + shift
+
+    rng = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(rng, (4, 4, 4, 2))
+    y = jnp.ones((4,), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    full = euler_maruyama_sampler(model, x1, y, key, num_steps=16,
+                                  cfg_scale=2.0, num_classes=2)
+    windowed = euler_maruyama_sampler(model, x1, y, key, num_steps=16,
+                                      cfg_scale=2.0, num_classes=2,
+                                      guidance_low=0.4, guidance_high=0.6)
+    none = euler_maruyama_sampler(model, x1, y, key, num_steps=16)
+    d_full = float(jnp.abs(full - none).mean())
+    d_win = float(jnp.abs(windowed - none).mean())
+    assert 0 < d_win < d_full
+    # a zero-width window at the top (never active): identical to cfg<=1,
+    # pinning that the unguided lax.cond branch matches the plain drift
+    never = euler_maruyama_sampler(model, x1, y, key, num_steps=16,
+                                   cfg_scale=2.0, num_classes=2,
+                                   guidance_low=1.5, guidance_high=2.0)
+    assert np.allclose(np.asarray(never), np.asarray(none), atol=1e-5)
