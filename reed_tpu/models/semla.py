@@ -114,7 +114,8 @@ class EdgeMessages(nn.Module):
         coords = CoordNorm(self.n_coord_sets, norm="none",
                            name="coord_norm")(coords, node_mask)
         # per-set coordinate gram matrices -> [B,N,N,S]
-        coord_feats = jnp.einsum("bsnd,bsmd->bnms", coords, coords)
+        coord_feats = jnp.moveaxis(
+            jnp.einsum("bsnd,bsmd->bsnm", coords, coords), 1, -1)
 
         nf = nn.Dense(self.d_message, dtype=self.dtype, name="node_proj")(node_feats)
         # message_fc1 over concat([nf_i, nf_j, grams, edges]) factored
