@@ -11,9 +11,16 @@ EquiInvDynamics (in/out edge layers, self-conditioning coord channel,
 projectors at align_depth), and SemlaGenerator (size embedding, type /
 bond / charge heads, symmetric edge logits, zero-CoM outputs).
 
-Everything is dense-batched [B, S, N, ...] — already the reference's layout
-and a good fit for the MXU (adjacency-masked softmax attention, batched
-einsums, static shapes from the bucket ladder).
+Layouts: node/edge features are dense-batched [B, N, ...] / [B, N, N, ...];
+the multi-set coordinate path runs in ONE unified layout [B, N, 3, S]
+(coordinate-set dim trailing = TPU lane dim) through the entire
+EquiInvDynamics stack. Every set-dim projection (coord_proj / attn_proj /
+equi_* / coord_head) is then a Dense over the trailing axis with no
+transposes, and the per-set gram matrices are emitted directly in the
+[B, N, M, S] order their consumers contract against — the round-3 device
+trace showed the previous [B,S,N,3] layout cost ~23% of the step in pure
+relayout copies (a per-layer 67 MB backward message relayout + gram-einsum
+transposes + ~10 small coord transposes per layer).
 """
 
 from __future__ import annotations
@@ -29,6 +36,13 @@ from reed_tpu.nn.layers import DenseParams
 
 Dtype = Any
 NEG_INF = -1e9
+# coordinate-magnitude ceiling applied where raw (norm="none") coords feed
+# pairwise geometry features — far above any healthy scale (O(1-30) in
+# training), bounds the init-time self-conditioning transient that
+# otherwise overflows the bf16 message tensor (clamping the small coord
+# tensor is ~70x cheaper than clamping the [B,N,N,S] grams). Inactive at
+# healthy scales, so converted-checkpoint parity is unaffected.
+COORD_CLAMP = 3e2
 
 
 def safe_norm(x, axis=-1, keepdims=False, eps: float = 1e-12):
@@ -45,6 +59,15 @@ def zero_com(coords, node_mask):
     n = jnp.maximum(jnp.sum(mask, axis=-2, keepdims=True), 1.0)
     com = jnp.sum(coords * mask, axis=-2, keepdims=True) / n
     return (coords - com) * mask
+
+
+def zero_com_sets(coord_sets, node_mask):
+    """coord_sets [B,N,3,S], node_mask [B,N] -> zero masked center of mass
+    per coordinate set (set-dim-trailing twin of zero_com)."""
+    mask = node_mask[:, :, None, None]
+    n = jnp.maximum(jnp.sum(node_mask, axis=1), 1.0)[:, None, None, None]
+    com = jnp.sum(coord_sets * mask, axis=1, keepdims=True) / n
+    return (coord_sets - com) * mask
 
 
 def adj_from_node_mask(node_mask, self_connect: bool = False):
@@ -75,24 +98,27 @@ class CoordNorm(nn.Module):
 
     @nn.compact
     def __call__(self, coord_sets, node_mask):
-        # coord_sets [B,S,N,3], node_mask [B,S,N]
+        # coord_sets [B,N,3,S], node_mask [B,N]
+        # param kept in the historical (1,S,1,1) shape for checkpoint /
+        # torch-converter compatibility; applied on the trailing set dim
         set_weights = self.param("set_weights", nn.initializers.ones,
                                  (1, self.n_coord_sets, 1, 1))
-        coord_sets = zero_com(coord_sets, node_mask)
-        n_atoms = jnp.sum(node_mask, axis=-1, keepdims=True)  # [B,S,1]
-        lengths = safe_norm(coord_sets, axis=-1)              # [B,S,N]
+        sw = set_weights.reshape(1, 1, 1, self.n_coord_sets)
+        coord_sets = zero_com_sets(coord_sets, node_mask)
+        n_atoms = jnp.maximum(jnp.sum(node_mask, axis=1), 1.0)[:, None, None]
+        lengths = safe_norm(coord_sets, axis=2)               # [B,N,S]
         if self.norm == "length":
-            scaled = jnp.sum(lengths, axis=2, keepdims=True) / n_atoms
-            coord_div = scaled[..., None] + self.eps
+            scaled = jnp.sum(lengths, axis=1, keepdims=True) / n_atoms
+            coord_div = scaled[:, :, None, :] + self.eps      # [B,1,1,S]
         elif self.norm == "gvp":
-            coord_div = ((lengths[..., None] + self.eps)
+            coord_div = ((lengths[:, :, None, :] + self.eps)
                          / math.sqrt(self.n_coord_sets))
         elif self.norm in ("none", None):
             coord_div = jnp.ones_like(coord_sets)
         else:
             raise ValueError(self.norm)
-        out = coord_sets * set_weights / coord_div
-        return out * node_mask[..., None]
+        out = coord_sets * sw / coord_div
+        return out * node_mask[:, :, None, None]
 
 
 class EdgeMessages(nn.Module):
@@ -108,14 +134,22 @@ class EdgeMessages(nn.Module):
 
     @nn.compact
     def __call__(self, coords, node_feats, node_mask, edge_feats=None):
-        b, s, n, _ = coords.shape
+        # coords [B,N,3,S], node_feats [B,N,d], node_mask [B,N]
         d_ff = self.d_ff or self.d_out
         node_feats = nn.LayerNorm(dtype=self.dtype, name="node_norm")(node_feats)
         coords = CoordNorm(self.n_coord_sets, norm="none",
                            name="coord_norm")(coords, node_mask)
-        # per-set coordinate gram matrices -> [B,N,N,S]
-        coord_feats = jnp.moveaxis(
-            jnp.einsum("bsnd,bsmd->bsnm", coords, coords), 1, -1)
+        coords = jnp.clip(coords, -COORD_CLAMP, COORD_CLAMP)
+        # per-set coordinate gram matrices, emitted directly in the
+        # [B,N,M,S] order the pair-concat consumer wants (no moveaxis).
+        # The pre-clamp above bounds these (reference-parity unnormalized)
+        # grams at ~3*CLAMP^2: without it the random-init self-conditioning
+        # second pass transiently amplifies coords layer-over-layer until
+        # the bf16 message tensor overflows to inf and softmax(inf-inf)
+        # NaNs the step (measured round 4 at bs56/N72; the f32 reference
+        # rides the same transient out at ~1e29 under grad clipping,
+        # molecule/semlaflow/flowmodels/semla.py:151-153 has no bound)
+        coord_feats = jnp.einsum("bnds,bmds->bnms", coords, coords)
 
         nf = nn.Dense(self.d_message, dtype=self.dtype, name="node_proj")(node_feats)
         # message_fc1 over concat([nf_i, nf_j, grams, edges]) factored
@@ -177,11 +211,11 @@ def _coord_attention_updates(proj, attn, eps):
     explicitly. Matches the direct formula to f32 reassociation error
     (tests/test_semla.py::test_coord_attention_factored_matches_direct).
 
-    proj [B,3,N,P] f32, attn [B,i,j,P] f32 -> updates [B,3,N,P].
+    proj [B,N,3,P] f32, attn [B,i,j,P] f32 -> updates [B,N,3,P].
     """
-    n = proj.shape[2]
-    sq = jnp.sum(proj * proj, axis=1)                      # [B,N,P]
-    inner = jnp.einsum("bdip,bdjp->bijp", proj, proj)      # [B,i,j,P]
+    n = proj.shape[1]
+    sq = jnp.sum(proj * proj, axis=2)                      # [B,N,P]
+    inner = jnp.einsum("bidp,bjdp->bijp", proj, proj)      # [B,i,j,P]
     dist2 = sq[:, :, None] + sq[:, None, :] - 2.0 * inner
     # + 1e-12 inside the sqrt: same non-NaN-gradient-at-0 guard as
     # safe_norm on the direct path
@@ -189,7 +223,8 @@ def _coord_attention_updates(proj, attn, eps):
     w = attn / (lengths + eps)
     w = w * (1.0 - jnp.eye(n, dtype=w.dtype))[None, :, :, None]
     wsum = jnp.sum(w, axis=2)                              # [B,i,P]
-    return proj * wsum[:, None] - jnp.einsum("bijp,bdjp->bdip", w, proj)
+    return (proj * wsum[:, :, None, :]
+            - jnp.einsum("bijp,bjdp->bidp", w, proj))
 
 
 class CoordAttention(nn.Module):
@@ -204,26 +239,25 @@ class CoordAttention(nn.Module):
 
     @nn.compact
     def __call__(self, coord_sets, messages, adj_matrix, node_mask):
+        # coord_sets [B,N,3,S], node_mask [B,N]
         p = self.proj_sets or self.n_coord_sets
         coords = CoordNorm(self.n_coord_sets, norm=self.coord_norm,
                            name="coord_norm")(coord_sets, node_mask)
-        # [B,S,N,3] -> project set dim S->P: [B,3,N,P]
-        # the coordinate-valued path stays f32 regardless of compute dtype:
+        # project set dim S->P on the trailing axis (no transpose).
+        # The coordinate-valued path stays f32 regardless of compute dtype:
         # bf16 coords/updates destabilize training (measured: grad overflow
         # within 300 steps) while bf16 on the feature/message path is safe
-        c = jnp.transpose(coords, (0, 3, 2, 1)).astype(jnp.float32)
         proj = nn.Dense(p, use_bias=False, dtype=jnp.float32,
-                        name="coord_proj")(c)
+                        name="coord_proj")(coords.astype(jnp.float32))
 
         attn_mask = _attn_mask_from_adj(adj_matrix)
         logits = messages.astype(jnp.float32) + attn_mask[..., None]
         attn = jax.nn.softmax(logits, axis=2)  # [B,i,j,P]
         updates = _coord_attention_updates(proj, attn, self.eps)
         weights = jnp.sqrt(jnp.sum(attn ** 2, axis=2))  # [B,i,P]
-        updates = updates * weights[:, None]
-        out = nn.Dense(self.n_coord_sets, use_bias=False, dtype=jnp.float32,
-                       name="attn_proj")(updates)
-        return jnp.transpose(out, (0, 3, 2, 1))  # [B,S,N,3]
+        updates = updates * weights[:, :, None, :]
+        return nn.Dense(self.n_coord_sets, use_bias=False, dtype=jnp.float32,
+                        name="attn_proj")(updates)  # [B,N,3,S]
 
 
 class NodeFeedForward(nn.Module):
@@ -238,6 +272,7 @@ class NodeFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, coord_sets, node_feats, node_mask):
+        # coord_sets [B,N,3,S], node_feats [B,N,d], node_mask [B,N]
         d = node_feats.shape[-1]
         p = self.proj_sets or self.n_coord_sets
         d_ff = self.d_ff or d * 4
@@ -246,8 +281,7 @@ class NodeFeedForward(nn.Module):
                                name="coord_norm")(coord_sets, node_mask)
 
         # invariant: lengths of each coord set as extra features
-        lengths = safe_norm(coord_sets, axis=-1)              # [B,S,N]
-        lengths = jnp.transpose(lengths, (0, 2, 1))           # [B,N,S]
+        lengths = safe_norm(coord_sets, axis=2)               # [B,N,S]
         inv_in = jnp.concatenate([node_feats, lengths.astype(self.dtype)],
                                  axis=-1)
         h = nn.Dense(d_ff, dtype=self.dtype, name="inv_fc1")(inv_in)
@@ -260,19 +294,18 @@ class NodeFeedForward(nn.Module):
         gates = nn.silu(gates)
         gates = nn.Dense(p, dtype=self.dtype, name="equi_node_fc2")(gates)
         gates = gates.astype(jnp.float32)
-        c = jnp.transpose(coord_sets, (0, 3, 2, 1)).astype(jnp.float32)
         proj = nn.Dense(p, use_bias=False, dtype=jnp.float32,
-                        name="equi_coord_proj")(c)
+                        name="equi_coord_proj")(coord_sets.astype(jnp.float32))
         # outer product of invariant feats with projected sets, summed over
         # the projected axis — (gates_p x proj_q).sum(q) is rank-1, so the
-        # [B,3,N,P,P] outer product collapses to gates * proj.sum(q)
+        # [B,N,3,P,P] outer product collapses to gates * proj.sum(q)
         # exactly (same contraction as the reference; verified against the
         # torch-mini in tests/test_semla_convert.py)
-        attn = gates[:, None] * jnp.sum(proj, axis=-1, keepdims=True)  # [B,3,N,P]
+        attn = (gates[:, :, None, :]
+                * jnp.sum(proj, axis=-1, keepdims=True))       # [B,N,3,P]
         out_coords = nn.Dense(self.n_coord_sets, use_bias=False,
                               dtype=jnp.float32, name="equi_attn_proj")(attn)
-        out_coords = jnp.transpose(out_coords, (0, 3, 2, 1))   # [B,S,N,3]
-        return out_coords, out_node
+        return out_coords, out_node                            # [B,N,3,S]
 
 
 class BondRefine(nn.Module):
@@ -288,8 +321,10 @@ class BondRefine(nn.Module):
     def __call__(self, coords, node_feats, node_mask, edge_feats):
         b, n, _ = node_feats.shape
         d_ff = self.d_ff or self.d_message
-        coords = CoordNorm(1, norm="none", name="coord_norm")(
-            coords[:, None], node_mask[:, None])[:, 0]
+        # coords [B,N,3] -> single-set [B,N,3,1] for the unified CoordNorm
+        coords = jnp.clip(CoordNorm(1, norm="none", name="coord_norm")(
+            coords[..., None], node_mask)[..., 0],
+            -COORD_CLAMP, COORD_CLAMP)
         diffs = coords[:, :, None, :] - coords[:, None, :, :]
         dists = jnp.sum(diffs ** 2, axis=-1, keepdims=True)
         dots = jnp.einsum("bnd,bmd->bnm", coords, coords)[..., None]
@@ -394,6 +429,7 @@ class EquiMessagePassingLayer(nn.Module):
     @nn.compact
     def __call__(self, coords, node_feats, adj_matrix, node_mask,
                  edge_feats=None, rep=None):
+        # coords [B,N,3,S], node_mask [B,N]
         n_heads = self.n_attn_heads or self.d_message
         d_coord_message = self.n_coord_sets
         d_message_out = n_heads + d_coord_message
@@ -403,7 +439,7 @@ class EquiMessagePassingLayer(nn.Module):
         if rep is not None and self.cond_type != "none":
             node_feats = RepConditioner(
                 self.cond_type, d_rep=self.d_rep, dtype=self.dtype,
-                name="rep_cond")(node_feats, rep, node_mask[:, 0])
+                name="rep_cond")(node_feats, rep, node_mask)
 
         c_up, n_up = NodeFeedForward(
             self.n_coord_sets, d_ff=self.d_model * 4,
@@ -472,18 +508,15 @@ class EquiInvDynamics(nn.Module):
                              name="time_emb_fc2")(t_emb)
             rep = rep + t_emb
 
-        # single (or self-cond pair of) coord channels -> S learnable sets
+        # single (or self-cond pair of) coord channels -> S learnable sets,
+        # already in the unified [B,N,3,S] layout (set dim = lane dim)
         if cond_coords is not None:
             stacked = jnp.stack([coords, cond_coords], axis=-1)  # [B,N,3,2]
         else:
             stacked = coords[..., None]
-        sets = nn.Dense(self.n_coord_sets, use_bias=False, dtype=jnp.float32,
-                        name="coord_proj")(stacked.astype(jnp.float32))
-        coords = jnp.transpose(sets, (0, 3, 1, 2))  # [B,S,N,3]
-        mask_sets = jnp.broadcast_to(atom_mask[:, None, :],
-                                     (atom_mask.shape[0], self.n_coord_sets,
-                                      atom_mask.shape[1]))
-        coords = coords * mask_sets[..., None]
+        coords = nn.Dense(self.n_coord_sets, use_bias=False, dtype=jnp.float32,
+                          name="coord_proj")(stacked.astype(jnp.float32))
+        coords = coords * atom_mask[:, :, None, None]
 
         extra = 2 if self.d_edge is not None else 0
         n_core = self.n_layers - extra
@@ -498,7 +531,7 @@ class EquiInvDynamics(nn.Module):
         if self.d_edge is not None:
             coords, inv_feats = EquiMessagePassingLayer(
                 d_edge_in=self.d_edge, **layer_kwargs, name=f"layers_{li}")(
-                coords, inv_feats, adj_matrix, mask_sets,
+                coords, inv_feats, adj_matrix, atom_mask,
                 edge_feats=edge_feats, rep=rep)[:2]
             li = self._maybe_project(zs, li, inv_feats)
 
@@ -506,26 +539,25 @@ class EquiInvDynamics(nn.Module):
             coords, inv_feats = EquiMessagePassingLayer(
                 d_message_hidden=self.d_message_hidden, **layer_kwargs,
                 name=f"layers_{li}")(
-                coords, inv_feats, adj_matrix, mask_sets, rep=rep)
+                coords, inv_feats, adj_matrix, atom_mask, rep=rep)
             li = self._maybe_project(zs, li, inv_feats)
 
         edge_out = None
         if self.d_edge is not None:
             coords, inv_feats, edge_out = EquiMessagePassingLayer(
                 d_edge_out=self.d_edge, **layer_kwargs, name=f"layers_{li}")(
-                coords, inv_feats, adj_matrix, mask_sets, rep=rep)
+                coords, inv_feats, adj_matrix, atom_mask, rep=rep)
             li = self._maybe_project(zs, li, inv_feats)
 
         c_up, n_up = NodeFeedForward(
             self.n_coord_sets, coord_norm=self.coord_norm, dtype=self.dtype,
-            name="final_ff_block")(coords, inv_feats, mask_sets)
+            name="final_ff_block")(coords, inv_feats, atom_mask)
         coords, inv_feats = c_up, n_up
 
         out_coords = CoordNorm(self.n_coord_sets, norm=self.coord_norm,
-                               name="coord_norm")(coords, mask_sets)
+                               name="coord_norm")(coords, atom_mask)
         out_coords = nn.Dense(1, use_bias=False, dtype=jnp.float32,
-                              name="coord_head")(
-            jnp.transpose(out_coords, (0, 2, 3, 1)))[..., 0]  # [B,N,3]
+                              name="coord_head")(out_coords)[..., 0]  # [B,N,3]
 
         if self.bond_refine and self.d_edge is not None:
             edge_out = BondRefine(self.d_message, self.d_edge,

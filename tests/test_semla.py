@@ -117,15 +117,15 @@ def test_coord_attention_factored_matches_direct():
 
     rng = np.random.default_rng(0)
     b, n, p, eps = 3, 10, 4, 1e-6
-    proj = jnp.asarray(rng.standard_normal((b, 3, n, p)), jnp.float32)
+    proj = jnp.asarray(rng.standard_normal((b, n, 3, p)), jnp.float32)
     # last two nodes sit exactly at zero (padded atoms)
-    proj = proj.at[:, :, -2:, :].set(0.0)
+    proj = proj.at[:, -2:].set(0.0)
     logits = jnp.asarray(rng.standard_normal((b, n, n, p)), jnp.float32)
     attn = jax.nn.softmax(logits, axis=2)
 
-    vec = proj[:, :, :, None, :] - proj[:, :, None, :, :]   # [B,3,i,j,P]
-    lengths = safe_norm(vec, axis=1, keepdims=True)
-    direct = jnp.einsum("bdijp,bijp->bdip", vec / (lengths + eps), attn)
+    vec = proj[:, :, None, :, :] - proj[:, None, :, :, :]   # [B,i,j,3,P]
+    lengths = safe_norm(vec, axis=3, keepdims=True)
+    direct = jnp.einsum("bijdp,bijp->bidp", vec / (lengths + eps), attn)
 
     factored = _coord_attention_updates(proj, attn, eps)
     np.testing.assert_allclose(np.asarray(factored), np.asarray(direct),
