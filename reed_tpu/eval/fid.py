@@ -54,8 +54,25 @@ def generate_samples(model_fn: Callable, params, cfg: FIDGenConfig,
 
     Returns [N, H, W, 3] uint8 samples (or latents if decode_fn is None),
     and writes `out_npz` when given (reference npz layout:
-    image/generate.py:20-34)."""
+    image/generate.py:20-34).
+
+    When `mesh` is given, the sample batch is sharded over the mesh's
+    data(+fsdp) axes and params are replicated — the TPU equivalent of the
+    reference's rank-interleaved DDP generation (image/generate.py:106-166).
+    Because per-sample computation is batch-independent and the RNG draws
+    are made from the same key regardless of layout, the gathered samples
+    match the single-device run (pinned by dryrun_multichip and
+    tests/test_mesh_sampling.py)."""
+    import contextlib
+
     n_iters = math.ceil(cfg.num_samples / cfg.batch_size)
+
+    batch_shard = None
+    if mesh is not None:
+        from reed_tpu.parallel.mesh import batch_sharding, replicated
+
+        batch_shard = batch_sharding(mesh)
+        params = jax.device_put(params, replicated(mesh))
 
     @jax.jit
     def sample_batch(params, rng):
@@ -67,6 +84,9 @@ def generate_samples(model_fn: Callable, params, cfg: FIDGenConfig,
             r_z, (cfg.batch_size, cfg.latent_size, cfg.latent_size,
                   cfg.latent_channels))
         y = jax.random.randint(r_y, (cfg.batch_size,), 0, cfg.num_classes)
+        if batch_shard is not None:
+            z = jax.lax.with_sharding_constraint(z, batch_shard)
+            y = jax.lax.with_sharding_constraint(y, batch_shard)
         kwargs = dict(num_steps=cfg.num_steps, cfg_scale=cfg.cfg_scale,
                       guidance_low=cfg.guidance_low,
                       guidance_high=cfg.guidance_high,
@@ -82,16 +102,17 @@ def generate_samples(model_fn: Callable, params, cfg: FIDGenConfig,
     outs = []
     base_rng = jax.random.PRNGKey(cfg.seed)
     t0 = None
-    for i in range(n_iters):
-        latents = sample_batch(params, jax.random.fold_in(base_rng, i))
-        latents = np.asarray(jax.device_get(latents))
-        if i == 0:
-            t0 = time.perf_counter()  # exclude the compile iteration
-        if decode_fn is not None:
-            imgs = decode_fn(latents)
-        else:
-            imgs = latents
-        outs.append(imgs)
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        for i in range(n_iters):
+            latents = sample_batch(params, jax.random.fold_in(base_rng, i))
+            latents = np.asarray(jax.device_get(latents))
+            if i == 0:
+                t0 = time.perf_counter()  # exclude the compile iteration
+            if decode_fn is not None:
+                imgs = decode_fn(latents)
+            else:
+                imgs = latents
+            outs.append(imgs)
     if n_iters > 1 and t0 is not None:
         dt = time.perf_counter() - t0
         per_batch = dt / (n_iters - 1)
