@@ -144,6 +144,134 @@ def template_size_histogram(
 
 
 # --------------------------------------------------------------------------
+# Decorated heavy-atom chains: a molecule family with real combinatorial
+# entropy (1,089 classes / ~580 distinct bond graphs after reversal
+# symmetry) so convergence runs can prove validity
+# AND uniqueness/diversity — the 4 rigid templates above cap uniqueness at
+# ~4/n_eval (the model memorizes them), whereas the reference's val metrics
+# track uniqueness of the generated set
+# (molecule/semlaflow/flowmodels/fm.py:677-693).
+#
+# A class = (chain length h in 2..6, heavy types in {C,N,O}^h). Geometry is
+# DETERMINISTIC per class: heavy atoms on an ideal tetrahedral zigzag with
+# textbook single-bond lengths, hydrogens completing each valence on exact
+# sp3 directions. Every class is a rigid body (like the templates), so the
+# family stays learnable, but there are sum_h 3^h = 1,089 of them.
+# --------------------------------------------------------------------------
+
+CHAIN_HEAVY_TYPES = (1, 2, 3)        # QM9 decoder indices: C, N, O
+CHAIN_VALENCE = {1: 4, 2: 3, 3: 2}   # C4 N3 O2
+CHAIN_ATOMIC_NUM = {0: 1, 1: 6, 2: 7, 3: 8}
+CHAIN_MIN_HEAVY, CHAIN_MAX_HEAVY = 2, 6
+# single-bond lengths (Angstrom) = eval/molecule_metrics BONDS1 centers
+_HEAVY_BOND = {(1, 1): 1.54, (1, 2): 1.47, (1, 3): 1.43,
+               (2, 2): 1.45, (2, 3): 1.40, (3, 3): 1.48}
+_H_BOND = {1: 1.09, 2: 1.01, 3: 0.96}
+_TET = np.deg2rad(109.4712)          # ideal sp3 angle
+
+# h + max hydrogens (all-carbon chain): 6 + (3+2+2+2+2+3) = 20
+CHAIN_MAX_ATOMS = CHAIN_MAX_HEAVY + (2 * 3 + (CHAIN_MAX_HEAVY - 2) * 2)
+
+
+def _chain_class(heavy_types: Tuple[int, ...]) -> Dict:
+    """Deterministic rigid conformer for one chain class."""
+    h = len(heavy_types)
+    theta = (np.pi - _TET) / 2.0
+    pos = [np.zeros(3)]
+    for i in range(h - 1):
+        pair = tuple(sorted((heavy_types[i], heavy_types[i + 1])))
+        d = np.array([np.cos(theta), ((-1.0) ** i) * np.sin(theta), 0.0])
+        pos.append(pos[-1] + _HEAVY_BOND[pair] * d)
+    pos = np.stack(pos)
+
+    coords = list(pos)
+    types = list(heavy_types)
+    bonds = [(i, i + 1, 1) for i in range(h - 1)]
+    for i, t in enumerate(heavy_types):
+        deg = 1 if i in (0, h - 1) else 2
+        n_h = CHAIN_VALENCE[t] - deg
+        if n_h <= 0:
+            continue
+        if i == 0:
+            nbrs = [pos[1] - pos[0]]
+        elif i == h - 1:
+            nbrs = [pos[h - 2] - pos[h - 1]]
+        else:
+            nbrs = [pos[i - 1] - pos[i], pos[i + 1] - pos[i]]
+        nbrs = [v / np.linalg.norm(v) for v in nbrs]
+        if len(nbrs) == 2:
+            u1, u2 = nbrs
+            b = -(u1 + u2)
+            b /= np.linalg.norm(b)
+            w = np.cross(u1, u2)
+            w /= np.linalg.norm(w)
+            dirs = [b * np.cos(_TET / 2) + w * np.sin(_TET / 2),
+                    b * np.cos(_TET / 2) - w * np.sin(_TET / 2)][:n_h]
+        else:
+            u1 = nbrs[0]
+            a = np.cross(u1, np.array([0.0, 0.0, 1.0]))
+            if np.linalg.norm(a) < 1e-6:
+                a = np.cross(u1, np.array([0.0, 1.0, 0.0]))
+            a /= np.linalg.norm(a)
+            b2 = np.cross(u1, a)
+            dirs = [u1 * np.cos(_TET)
+                    + (a * np.cos(p) + b2 * np.sin(p)) * np.sin(_TET)
+                    for p in (0.0, 2 * np.pi / 3, 4 * np.pi / 3)][:n_h]
+        for dvec in dirs:
+            bonds.append((i, len(coords), 1))
+            coords.append(pos[i] + _H_BOND[t] * dvec)
+            types.append(0)
+
+    coords = np.asarray(coords, np.float32)
+    coords -= coords.mean(axis=0, keepdims=True)
+    return {
+        "name": "chain-" + "".join(QM9_SYMBOLS[t] for t in heavy_types),
+        "types": np.asarray(types, np.int64),
+        "charges": np.asarray([CHAIN_ATOMIC_NUM[t] for t in types],
+                              np.float32),
+        "coords": coords,
+        "bonds": bonds,
+    }
+
+
+QM9_SYMBOLS = ["H", "C", "N", "O", "F"]
+
+
+def chain_classes() -> List[Tuple[int, ...]]:
+    """All 1,089 (heavy type sequence) classes, deterministic order."""
+    import itertools
+
+    out: List[Tuple[int, ...]] = []
+    for h in range(CHAIN_MIN_HEAVY, CHAIN_MAX_HEAVY + 1):
+        out.extend(itertools.product(CHAIN_HEAVY_TYPES, repeat=h))
+    return out
+
+
+_CHAIN_CACHE: Dict[Tuple[int, ...], Dict] = {}
+
+
+def chain_templates() -> List[Dict]:
+    """The chain family in MOLECULE_TEMPLATES format (built once)."""
+    if not _CHAIN_CACHE:
+        for key in chain_classes():
+            _CHAIN_CACHE[key] = _chain_class(key)
+    return list(_CHAIN_CACHE.values())
+
+
+def chain_molecule_batch(rng: np.random.Generator, batch_size: int,
+                         max_nodes: int = CHAIN_MAX_ATOMS,
+                         ) -> Dict[str, np.ndarray]:
+    """Randomly-rotated decorated chains, same format as
+    template_molecule_batch."""
+    return template_molecule_batch(rng, batch_size, max_nodes=max_nodes,
+                                   templates=chain_templates())
+
+
+def chain_size_histogram() -> Dict[int, float]:
+    return template_size_histogram(chain_templates())
+
+
+# --------------------------------------------------------------------------
 # Protein sequence<->structure rule
 # --------------------------------------------------------------------------
 

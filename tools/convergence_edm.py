@@ -1,11 +1,13 @@
-"""Convergence acceptance run: EDM learns rigid QM9-chemistry templates to
-high atom/molecule stability.
+"""Convergence acceptance run: EDM learns a rigid molecule family to high
+atom/molecule stability AND uniqueness.
 
 Mirrors the reference's metrics-as-acceptance loop (analyze_and_save at
 molecule/train_test.py:170-233 scoring analyze_stability_for_molecules):
-train EnVariationalDiffusion on randomly-rotated rigid templates
-(data/synthetic.MOLECULE_TEMPLATES — CH4/NH3/H2O/HF with textbook bond
-geometry), then sample molecules and score stability/validity with
+train EnVariationalDiffusion on a randomly-rotated rigid family —
+--family chains (default): 1,089 decorated heavy-atom chains, enough
+combinatorial entropy to prove uniqueness >= 0.5 alongside validity;
+--family templates: the 4 rigid QM9 templates (fast smoke) —
+then sample molecules and score stability/validity/uniqueness with
 eval/molecule_metrics.MoleculeMetrics. Untrained: ~0 stability. Learned:
 atoms land inside the bond-order distance windows.
 
@@ -36,6 +38,8 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--timesteps", type=int, default=500)
     ap.add_argument("--n-eval", type=int, default=256)
+    ap.add_argument("--family", default="chains",
+                    choices=("chains", "templates"))
     ap.add_argument("--out", default="CONVERGENCE_EDM.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
@@ -49,9 +53,11 @@ def main(argv=None):
 
     from reed_tpu.core.config import CurriculumConfig, OptimConfig
     from reed_tpu.data.synthetic import (
+        CHAIN_MAX_ATOMS,
         MOLECULE_TEMPLATES,
         TEMPLATE_MAX_ATOMS,
         TEMPLATE_NUM_TYPES,
+        chain_templates,
         template_molecule_batch,
     )
     from reed_tpu.diffusion.edm import EDMConfig
@@ -66,7 +72,12 @@ def main(argv=None):
         args.timesteps = 100
         args.n_eval = 64
 
-    max_n = TEMPLATE_MAX_ATOMS
+    if args.family == "chains":
+        family = chain_templates()
+        max_n = CHAIN_MAX_ATOMS
+    else:
+        family = list(MOLECULE_TEMPLATES)
+        max_n = TEMPLATE_MAX_ATOMS
     cfg = MoleculeEDMConfig(
         num_atom_types=TEMPLATE_NUM_TYPES,
         include_charges=True,
@@ -86,7 +97,8 @@ def main(argv=None):
     state = trainer.init_state()
 
     def host_batch(r: np.random.Generator):
-        raw = template_molecule_batch(r, args.batch_size, max_n)
+        raw = template_molecule_batch(r, args.batch_size, max_n,
+                                      templates=family)
         mask = raw["mask"][..., None]
         diag = np.eye(max_n, dtype=np.float32)[None, :, :, None]
         edge_mask = mask[:, :, None, :] * mask[:, None, :, :] * (1.0 - diag)
@@ -105,8 +117,8 @@ def main(argv=None):
     def score(params, seed: int):
         """Sample n_eval molecules (template-matched sizes) and score."""
         r = np.random.default_rng(20_000 + seed)
-        sizes = np.array([len(MOLECULE_TEMPLATES[i]["types"])
-                          for i in r.integers(0, len(MOLECULE_TEMPLATES),
+        sizes = np.array([len(family[i]["types"])
+                          for i in r.integers(0, len(family),
                                               size=args.n_eval)])
         mask = (np.arange(max_n)[None, :] < sizes[:, None]
                 ).astype(np.float32)[..., None]
@@ -152,7 +164,8 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "config": {"batch_size": args.batch_size, "hidden": args.hidden,
                    "layers": args.layers, "lr": args.lr,
-                   "timesteps": args.timesteps, "n_eval": args.n_eval},
+                   "timesteps": args.timesteps, "family": args.family,
+                   "n_classes": len(family), "n_eval": args.n_eval},
         "loss_curve": losses,
         "command": "python tools/convergence_edm.py"
                    + (" --tiny --cpu" if args.tiny else ""),
