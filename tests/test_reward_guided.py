@@ -78,6 +78,55 @@ def test_tds_runs_and_is_finite():
     assert int(tokens.max()) < 22
 
 
+def _input_dependent_two_mode_model(x, cls):
+    """Two near-equal modes (tokens 3 and 5) with input dependence, so the
+    CG/TDS twisting gradient d reward/d x_onehot is nonzero (a constant
+    model has zero classifier gradient and TDS degenerates to SMC)."""
+    if x.ndim == 2:
+        x = jax.nn.one_hot(x, 22)
+    base = jnp.full(x.shape[:2] + (22,), -8.0)
+    base = base.at[..., 3].set(2.0).at[..., 5].set(2.0)
+    return base + 5.0 * x.astype(jnp.float32)
+
+
+def _reward_logits_5(logits):
+    return logits[..., 5].mean(axis=-1)
+
+
+def _frac5(sampler_kwargs, n_seeds=5, particles=16, length=16):
+    total = 0.0
+    for seed in range(n_seeds):
+        _, tokens = euler_unmask_sampler_controlled_smc(
+            _input_dependent_two_mode_model, _reward_logits_5,
+            jax.random.PRNGKey(seed), (particles, length), CFG,
+            **sampler_kwargs)
+        total += float((tokens == 5).mean())
+    return total / n_seeds
+
+
+def test_tds_concentrates_on_rewarded_mode():
+    """Twisted SMC (reference: fm_utils.py:346-424) must shift mass onto
+    the rewarded mode vs unguided sampling at equal particle count.
+    'Unguided' = alpha=1e9 (uniform weights, resampling a no-op in
+    distribution) and no proposal twist."""
+    frac_unguided = _frac5(dict(alpha=1e9, guidance_scale=None))
+    frac_tds = _frac5(dict(alpha=0.05, guidance_scale=20.0))
+    assert frac_tds > frac_unguided + 0.2, (frac_tds, frac_unguided)
+    # the unguided two-mode model splits mass ~evenly
+    assert 0.3 < frac_unguided < 0.7
+
+
+def test_tds_beats_plain_smc_at_small_particle_count():
+    """TDS's raison d'être: the CG-twisted proposal finds the rewarded mode
+    even when there are too few particles for resampling alone to do it.
+    At 4 particles, plain SMC relies on luck-of-the-draw; TDS tilts every
+    proposal toward the reward (reference: fm_utils.py:346-424 vs 272-344)."""
+    kwargs = dict(n_seeds=8, particles=4, length=16)
+    frac_smc = _frac5(dict(alpha=0.05, guidance_scale=None), **kwargs)
+    frac_tds = _frac5(dict(alpha=0.05, guidance_scale=20.0), **kwargs)
+    assert frac_tds > frac_smc + 0.05, (frac_tds, frac_smc)
+
+
 def test_gumbel_softmax_sampler_differentiable():
     cfg = MaskingInterpolantConfig(num_timesteps=8, min_t=0.01, temp=1.0)
 
