@@ -114,7 +114,10 @@ class SiT(nn.Module):
     attn_impl: str = "auto"
     # False | True (full block remat) | 'dots' (save matmul outputs only —
     # recomputes elementwise/softmax, keeps the MXU results; the usual
-    # middle ground between no-remat OOM and full-remat slowdown)
+    # middle ground between no-remat OOM and full-remat slowdown) | any
+    # other attribute name of jax.checkpoint_policies (e.g. 'dots_saveable',
+    # 'checkpoint_dots_with_no_batch_dims') — lets the 512px/S=1024 runs
+    # hunt for a selective policy the axon remote-compile helper accepts
     remat: Any = False
     exact_gelu: bool = False  # torch parity (erf); tanh approx is faster
     # Optional NamedSharding for [B, S, D] token activations (sequence
@@ -149,10 +152,12 @@ class SiT(nn.Module):
         c = t_emb + y_emb
 
         block_cls = SiTBlock
-        if self.remat == "dots":
+        if isinstance(self.remat, str):
+            policy_name = ("dots_with_no_batch_dims_saveable"
+                           if self.remat == "dots" else self.remat)
             block_cls = nn.remat(
                 SiTBlock,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+                policy=getattr(jax.checkpoint_policies, policy_name))
         elif self.remat:
             block_cls = nn.remat(SiTBlock)
 

@@ -11,9 +11,10 @@ from reed_tpu.diffusion.continuous import FlowMatchingLossConfig
 from reed_tpu.train.image import ImageTrainConfig, ImageTrainer
 
 
-def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None, ema_every=1):
+def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None,
+        ema_every=1, input_size=32):
     cfg = ImageTrainConfig(
-        model="SiT-XL/2", input_size=32, num_classes=1000,
+        model="SiT-XL/2", input_size=input_size, num_classes=1000,
         encoder_depth=8, encoder_depth_text=16,
         z_dims=(768, 3584), z_types=("i", "t"), projector_dim=2048,
         compute_dtype="bfloat16", remat=remat, attn_impl=attn_impl,
@@ -41,8 +42,9 @@ def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None, ema_ev
                 state, m = trainer.train_step(state, data, rng)
             float(jax.device_get(m["loss"]))
             dt = time.perf_counter() - t0
-        print(f"batch={batch} remat={remat} attn={attn_impl} "
-              f"mu={mu_dtype} ema={ema_dtype} ema_every={ema_every}: "
+        print(f"size={input_size} batch={batch} remat={remat} "
+              f"attn={attn_impl} mu={mu_dtype} ema={ema_dtype} "
+              f"ema_every={ema_every}: "
               f"{batch * steps / dt:.1f} imgs/s", flush=True)
     except Exception as e:
         print(f"batch={batch} remat={remat} attn={attn_impl} "
@@ -55,11 +57,31 @@ def run(batch, remat, attn_impl, steps=10, mu_dtype=None, ema_dtype=None, ema_ev
 if __name__ == "__main__":
     import sys
 
-    configs = [
-        dict(batch=48, remat=False, attn_impl="pallas", mu_dtype="bfloat16",
-             ema_every=8, steps=30),
-        dict(batch=48, remat=False, attn_impl="xla", mu_dtype="bfloat16",
-             ema_every=8, steps=30),
-    ]
+    if len(sys.argv) > 1 and sys.argv[1] == "512":
+        # 512px = input_size 64 -> S=1024 at p2 (SURVEY §5.7 extension).
+        # remat policy hunt (VERDICT r3 #5): no-remat bs8 is the r3 anchor
+        # (25.4 imgs/s); full remat and selective policies buy batch room
+        # if the axon remote-compile helper accepts them
+        configs = [
+            dict(batch=8, remat=False, attn_impl="auto", input_size=64,
+                 mu_dtype="bfloat16", ema_every=8, steps=10),
+            dict(batch=16, remat=True, attn_impl="auto", input_size=64,
+                 mu_dtype="bfloat16", ema_every=8, steps=10),
+            dict(batch=32, remat=True, attn_impl="auto", input_size=64,
+                 mu_dtype="bfloat16", ema_every=8, steps=10),
+            dict(batch=16, remat="dots_saveable", attn_impl="auto",
+                 input_size=64, mu_dtype="bfloat16", ema_every=8, steps=10),
+            dict(batch=32, remat="dots_saveable", attn_impl="auto",
+                 input_size=64, mu_dtype="bfloat16", ema_every=8, steps=10),
+            dict(batch=16, remat="dots", attn_impl="auto", input_size=64,
+                 mu_dtype="bfloat16", ema_every=8, steps=10),
+        ]
+    else:
+        configs = [
+            dict(batch=48, remat=False, attn_impl="pallas",
+                 mu_dtype="bfloat16", ema_every=8, steps=30),
+            dict(batch=48, remat=False, attn_impl="xla",
+                 mu_dtype="bfloat16", ema_every=8, steps=30),
+        ]
     for c in configs:
         run(**c)
