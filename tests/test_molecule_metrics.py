@@ -192,3 +192,24 @@ def test_posebusters_checks():
            np.array([1, 0, 0, 0, 0]))
     out = posebusters_checks([bad])
     assert out["pb_valid"] == 0.0
+
+
+def test_chain_family_ground_truth_is_valid_and_diverse():
+    """The 1,089-class decorated-chain family (data/synthetic.py) is the
+    convergence-run target for validity AND uniqueness: its ideal conformers
+    must score perfectly under the same metrics the run uses, and a 256-mol
+    sample must carry real diversity (else the family can't prove the model
+    generates rather than memorizes)."""
+    from reed_tpu.data.synthetic import chain_classes, chain_templates
+
+    fam = chain_templates()
+    assert len(fam) == len(chain_classes()) == 1089
+    m = MoleculeMetrics()
+    r = np.random.default_rng(0)
+    mols = [(fam[i]["coords"], fam[i]["types"])
+            for i in r.integers(0, len(fam), size=256)]
+    scores = m.evaluate(mols)
+    assert scores["mol_stable"] == 1.0
+    assert scores["validity"] == 1.0
+    assert scores["atom_stable"] == 1.0
+    assert scores["uniqueness"] >= 0.5

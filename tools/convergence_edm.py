@@ -36,11 +36,22 @@ def main(argv=None):
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--schedule", default="constant",
+                    choices=("constant", "cosine"),
+                    help="cosine decays to 0 over --steps (the constant-LR "
+                         "noise floor under-fits the 1,089-class family)")
+    ap.add_argument("--warmup", type=int, default=0)
+    ap.add_argument("--score-every", type=int, default=0,
+                    help="score EMA params mid-run every N steps (0 = off)")
     ap.add_argument("--timesteps", type=int, default=500)
     ap.add_argument("--n-eval", type=int, default=256)
     ap.add_argument("--family", default="chains",
                     choices=("chains", "templates"))
     ap.add_argument("--out", default="CONVERGENCE_EDM.json")
+    ap.add_argument("--save-params", default="",
+                    help="pickle final params/ema here for offline probes")
+    ap.add_argument("--batch-pool", type=int, default=0,
+                    help="pre-generate N host batches and cycle them")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args(argv)
@@ -87,7 +98,9 @@ def main(argv=None):
         rep_nf=None,                      # unconditional
         edm=EDMConfig(timesteps=args.timesteps),
         batch_size=args.batch_size,
-        optim=OptimConfig(lr=args.lr, grad_clip=1.0),
+        optim=OptimConfig(lr=args.lr, grad_clip=1.0,
+                          schedule=args.schedule, warmup_steps=args.warmup,
+                          total_steps=args.steps),
         # ema horizon ~1/(1-decay) steps must fit the run length for the
         # final_ema score to be meaningful (full runs are 2-5k steps)
         curriculum=CurriculumConfig(proj_coeff=0.0, diffusion_warmup_steps=0,
@@ -137,21 +150,41 @@ def main(argv=None):
     m0 = score(state.params, 0)
     print(f"step-0: {m0} ({time.time()-t0:.1f}s)", flush=True)
 
+    pool = None
+    if args.batch_pool:
+        t0 = time.time()
+        pool = [host_batch(np.random.default_rng(i))
+                for i in range(args.batch_pool)]
+        print(f"batch pool: {args.batch_pool} batches "
+              f"({time.time()-t0:.1f}s)", flush=True)
+
     rng = trainer.train_rng
     losses = []
     t0 = time.time()
     for step in range(args.steps):
-        batch = host_batch(np.random.default_rng(step))
+        batch = (pool[step % args.batch_pool] if pool
+                 else host_batch(np.random.default_rng(step)))
         state, metrics = trainer.train_step(state, batch, rng)
         if step % 200 == 0 or step == args.steps - 1:
             loss = float(jax.device_get(metrics["denoising_loss"]))
             losses.append({"step": step, "nll": loss})
             print(f"step {step}: nll={loss:.4f}", flush=True)
+        if (args.score_every and step and step % args.score_every == 0):
+            print(f"step {step} ema: {score(state.ema_params, 1)}",
+                  flush=True)
     train_secs = time.time() - t0
 
     m_ema = score(state.ema_params, 1)
     m_final = score(state.params, 1)
     print(f"final: params={m_final} ema={m_ema}", flush=True)
+
+    if args.save_params:
+        import pickle
+        with open(args.save_params, "wb") as f:
+            pickle.dump({"params": jax.device_get(state.params),
+                         "ema": jax.device_get(state.ema_params),
+                         "args": vars(args)}, f)
+        print(f"params saved: {args.save_params}", flush=True)
 
     result = {
         "domain": "molecule_edm",
@@ -164,6 +197,7 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "config": {"batch_size": args.batch_size, "hidden": args.hidden,
                    "layers": args.layers, "lr": args.lr,
+                   "schedule": args.schedule, "warmup": args.warmup,
                    "timesteps": args.timesteps, "family": args.family,
                    "n_classes": len(family), "n_eval": args.n_eval},
         "loss_curve": losses,

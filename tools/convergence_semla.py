@@ -40,11 +40,26 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--coord-sets", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--schedule", default="constant",
+                    choices=("constant", "cosine"),
+                    help="cosine decays to 0 over --steps; the constant-LR "
+                         "gradient-noise floor (~0.28A coord RMS at 3e-4) is "
+                         "too coarse for bond-length stability on the "
+                         "1,089-class chains family")
+    ap.add_argument("--warmup", type=int, default=0)
+    ap.add_argument("--score-every", type=int, default=0,
+                    help="score EMA params mid-run every N steps (0 = off)")
     ap.add_argument("--integrator-steps", type=int, default=100)
     ap.add_argument("--n-eval", type=int, default=256)
     ap.add_argument("--family", default="chains",
                     choices=("chains", "templates"))
     ap.add_argument("--out", default="CONVERGENCE_SEMLA.json")
+    ap.add_argument("--save-params", default="",
+                    help="pickle final params/ema here for offline probes")
+    ap.add_argument("--batch-pool", type=int, default=0,
+                    help="pre-generate N host batches and cycle them (the "
+                         "per-step numpy batch gen + per-sample Kabsch OT "
+                         "otherwise dominates small-N steps)")
     ap.add_argument("--dtype", default="float32",
                     help="compute dtype (bfloat16 validates the "
                          "mixed-precision path: f32 coords, bf16 features)")
@@ -114,7 +129,9 @@ def main(argv=None):
         integrator=IntegratorConfig(steps=args.integrator_steps),
         batch_size=args.batch_size,
         compute_dtype=args.dtype,
-        optim=OptimConfig(lr=args.lr, grad_clip=1.0),
+        optim=OptimConfig(lr=args.lr, grad_clip=1.0,
+                          schedule=args.schedule, warmup_steps=args.warmup,
+                          total_steps=args.steps),
         # ema horizon ~1/(1-decay) steps must fit the run length for the
         # final_ema score to be meaningful (full runs are 2-5k steps)
         curriculum=CurriculumConfig(proj_coeff=0.0, diffusion_warmup_steps=0,
@@ -162,22 +179,42 @@ def main(argv=None):
     m0 = score(state.params, 0)
     print(f"step-0: {m0} ({time.time()-t0:.1f}s)", flush=True)
 
+    pool = None
+    if args.batch_pool:
+        t0 = time.time()
+        pool = [host_batch(np.random.default_rng(i))
+                for i in range(args.batch_pool)]
+        print(f"batch pool: {args.batch_pool} batches "
+              f"({time.time()-t0:.1f}s)", flush=True)
+
     rng = trainer.train_rng
     losses = []
     t0 = time.time()
     for step in range(args.steps):
-        batch = host_batch(np.random.default_rng(step))
+        batch = (pool[step % args.batch_pool] if pool
+                 else host_batch(np.random.default_rng(step)))
         state, metrics = trainer.train_step(state, batch, rng)
         if step % 200 == 0 or step == args.steps - 1:
             loss = float(jax.device_get(metrics["denoising_loss"]))
             cl = float(jax.device_get(metrics["coord_loss"]))
             losses.append({"step": step, "loss": loss, "coord": cl})
             print(f"step {step}: loss={loss:.4f} coord={cl:.4f}", flush=True)
+        if (args.score_every and step and step % args.score_every == 0):
+            print(f"step {step} ema: {score(state.ema_params, 1)}",
+                  flush=True)
     train_secs = time.time() - t0
 
     m_ema = score(state.ema_params, 1)
     m_final = score(state.params, 1)
     print(f"final: params={m_final} ema={m_ema}", flush=True)
+
+    if args.save_params:
+        import pickle
+        with open(args.save_params, "wb") as f:
+            pickle.dump({"params": jax.device_get(state.params),
+                         "ema": jax.device_get(state.ema_params),
+                         "args": vars(args)}, f)
+        print(f"params saved: {args.save_params}", flush=True)
 
     result = {
         "domain": "molecule_semla",
@@ -190,7 +227,8 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "config": {"batch_size": args.batch_size, "d_model": args.d_model,
                    "layers": args.layers, "coord_sets": args.coord_sets,
-                   "lr": args.lr,
+                   "lr": args.lr, "schedule": args.schedule,
+                   "warmup": args.warmup,
                    "integrator_steps": args.integrator_steps,
                    "dtype": args.dtype, "family": args.family,
                    "n_classes": len(family),

@@ -1,0 +1,84 @@
+"""Rescore a saved semla convergence run under different sampling settings
+(schedule, step count) without retraining — isolates integration error from
+model error. Usage:
+  python tools/rescore_semla.py /tmp/semla_chains_params.pkl \
+      --strategy log --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pickle")
+    ap.add_argument("--strategy", default="log", choices=("linear", "log"))
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--n-eval", type=int, default=256)
+    ap.add_argument("--which", default="ema", choices=("ema", "params"))
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from reed_tpu.core.config import CurriculumConfig, OptimConfig
+    from reed_tpu.data.synthetic import (CHAIN_MAX_ATOMS, TEMPLATE_NUM_TYPES,
+                                         chain_templates)
+    from reed_tpu.diffusion.molecule_fm import (IntegratorConfig,
+                                                MoleculeInterpolantConfig,
+                                                MoleculePriorConfig)
+    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+    from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
+
+    with open(args.pickle, "rb") as f:
+        saved = pickle.load(f)
+    run = saved["args"]
+    params = saved[args.which]
+    family = chain_templates()
+    max_n = CHAIN_MAX_ATOMS
+
+    cfg = SemlaTrainConfig(
+        vocab_size=TEMPLATE_NUM_TYPES, n_bond_types=5, n_charge_types=7,
+        max_atoms=max_n, d_model=run["d_model"],
+        d_message=run["d_model"] // 2, n_layers=run["layers"],
+        n_coord_sets=run["coord_sets"], d_message_hidden=run["d_model"] // 2,
+        d_edge=64, n_attn_heads=8, size_emb=16, d_rep=None,
+        rep_alignment=False,
+        interpolant=MoleculeInterpolantConfig(
+            prior=MoleculePriorConfig(vocab_size=TEMPLATE_NUM_TYPES,
+                                      n_bond_types=5)),
+        integrator=IntegratorConfig(steps=args.steps),
+        batch_size=run["batch_size"], compute_dtype=run["dtype"],
+        optim=OptimConfig(lr=run["lr"], grad_clip=1.0),
+        curriculum=CurriculumConfig(proj_coeff=0.0, diffusion_warmup_steps=0,
+                                    ema_decay=0.995),
+    )
+    trainer = SemlaTrainer(cfg)
+
+    r = np.random.default_rng(30_001)
+    sizes = np.array([len(family[i]["types"])
+                      for i in r.integers(0, len(family), size=args.n_eval)])
+    mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
+    prior = trainer.sample_prior(r, mask)
+    final = trainer.generate(params, jax.random.PRNGKey(1), prior,
+                             sampling_strategy=args.strategy)
+    coords = np.asarray(jax.device_get(final["coords"]))
+    types = np.argmax(np.asarray(jax.device_get(final["atomics"])), axis=-1)
+    mols = [(coords[b, :sizes[b]], types[b, :sizes[b]])
+            for b in range(args.n_eval)]
+    m = MoleculeMetrics().evaluate(mols)
+    print(f"strategy={args.strategy} steps={args.steps} which={args.which}: "
+          f"{m}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
