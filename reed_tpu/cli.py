@@ -892,7 +892,8 @@ def eval_semla(args):
     from the prior, scored with stability/validity metrics, mean+/-std
     (reference protocol: molecule/semlaflow/evaluate.py:22-120 — 3
     replicates x 1000 molecules, 100 integration steps)."""
-    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+    from reed_tpu.eval.molecule_metrics import (SEMLA_IDX_CHARGES,
+                                                GraphMoleculeMetrics)
     from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
 
     cfg = _resolve_cfg(SemlaTrainConfig, args, defaults={"batch_size": 16})
@@ -922,12 +923,17 @@ def eval_semla(args):
     else:
         decoder = tuple(["H", "H"] + CORE_ATOMS + OTHER_ATOMS)
         first_real = 2
-    metrics_eval = MoleculeMetrics(atom_decoder=decoder,
-                                   dataset=args.dataset or "qm9")
+    # score the PREDICTED molecule graph (bonds + charges are co-generated;
+    # reference evaluate.py builds mols from the predicted tensors, not from
+    # coordinate distances — fm.py:249-306)
+    metrics_eval = GraphMoleculeMetrics(atom_decoder=decoder,
+                                        dataset=args.dataset or "qm9")
+    charge_map = np.asarray(SEMLA_IDX_CHARGES, np.int64)
     # stand-in scored for molecules with PAD/MASK predictions: two distant
-    # H atoms -> zero bonds -> unstable, disconnected, invalid
+    # unbonded H atoms -> zero valence -> unstable, disconnected, invalid
     invalid_mol = (np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]], np.float32),
-                   np.array([decoder.index("H")] * 2))
+                   np.array([decoder.index("H")] * 2),
+                   np.zeros((2, 2), np.int64), np.zeros(2, np.int64))
     coord_std = args.coord_std if args.coord_std is not None else 1.0
 
     cfg_i = cfg.__class__(**{**cfg.__dict__, "integrator": cfg.integrator.
@@ -959,12 +965,21 @@ def eval_semla(args):
             pred_bonds = (np.argmax(np.asarray(
                 jax.device_get(final["bonds"])), axis=-1)
                 if final.get("bonds") is not None else None)
+            pred_charges = (charge_map[np.argmax(np.asarray(
+                jax.device_get(final["charges"])), axis=-1)]
+                if final.get("charges") is not None else None)
             for b in range(bs):
                 t_b = types[b, :sizes[b]]
+                n_b = sizes[b]
                 if (t_b < first_real).any() or (t_b >= len(decoder)).any():
                     mols.append(invalid_mol)
                 else:
-                    mols.append((coords[b, :sizes[b]], t_b))
+                    mols.append((
+                        coords[b, :n_b], t_b,
+                        (pred_bonds[b, :n_b, :n_b] if pred_bonds is not None
+                         else np.zeros((n_b, n_b), np.int64)),
+                        (pred_charges[b, :n_b] if pred_charges is not None
+                         else None)))
                 if args.out and rep_i == 0:
                     # predicted-bond SDF + xyz (reference: semlaflow
                     # predict.py writes sampled molecules to SDF)

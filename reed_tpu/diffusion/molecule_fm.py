@@ -260,14 +260,37 @@ class IntegratorConfig:
     eps: float = 1e-5
 
 
-def _categorical_onehot(rng, probs):
-    """Categorical draw -> one-hot (probs may be unnormalized)."""
-    e = 1e-10 - jnp.log(jax.random.uniform(rng, probs.shape) + 1e-10)
+def _symmetrize_pair_noise(u):
+    """Mirror the upper triangle of the two pair axes (1, 2) so a noise
+    tensor over (i, j) pairs makes identical decisions for ij and ji."""
+    n = u.shape[1]
+    upper = jnp.triu(jnp.ones((n, n), dtype=bool), 1)
+    shape = (1, n, n) + (1,) * (u.ndim - 3)
+    return jnp.where(upper.reshape(shape), u, jnp.swapaxes(u, 1, 2))
+
+
+def _pair_uniform(rng, shape, symmetric):
+    u = jax.random.uniform(rng, shape)
+    return _symmetrize_pair_noise(u) if symmetric else u
+
+
+def _categorical_onehot(rng, probs, symmetric=False):
+    """Categorical draw -> one-hot (probs may be unnormalized). With
+    symmetric=True the gumbel noise is mirrored across the pair axes, so
+    symmetric probs yield a symmetric one-hot sample — our training
+    interpolant only ever shows the model SYMMETRIC bond states
+    (sample_prior_batch/interpolate_batch symmetrize), so the integrator
+    must keep generated bond states on that manifold too. Asymmetric
+    sampled bonds were measured to corrupt semla generation: a
+    teacher-forced t0=0.95 start degraded to atom_stable 0.47 with
+    independent ij/ji draws (round-4 chains diagnosis)."""
+    e = 1e-10 - jnp.log(_pair_uniform(rng, probs.shape, symmetric) + 1e-10)
     idx = jnp.argmax(probs / e, axis=-1)
     return jax.nn.one_hot(idx, probs.shape[-1])
 
 
-def _uniform_sample_step(rng, cfg, curr_dist, pred_dist, t, step_size):
+def _uniform_sample_step(rng, cfg, curr_dist, pred_dist, t, step_size,
+                         symmetric=False):
     """Uniform-sampling DFM step (reference: fm.py:147-173)."""
     n_cats = pred_dist.shape[-1]
     curr = jnp.argmax(curr_dist, axis=-1)[..., None]
@@ -282,22 +305,22 @@ def _uniform_sample_step(rng, cfg, curr_dist, pred_dist, t, step_size):
     step_probs = step_probs * (1 - onehot_curr)
     diag = jnp.clip(1.0 - step_probs.sum(-1, keepdims=True), 0.0, None)
     step_probs = step_probs + diag * onehot_curr
-    return _categorical_onehot(rng, step_probs)
+    return _categorical_onehot(rng, step_probs, symmetric)
 
 
 def _mask_sampling_step(rng, cfg, curr_dist, pred_dist, t, mask_index,
-                        step_size):
+                        step_size, symmetric=False):
     """Masking DFM step (reference: fm.py:122-145)."""
     n_cats = pred_dist.shape[-1]
     r1, r2, r3 = jax.random.split(rng, 3)
-    pred = _categorical_onehot(r1, pred_dist).argmax(-1)
+    pred = _categorical_onehot(r1, pred_dist, symmetric).argmax(-1)
     curr = jnp.argmax(curr_dist, axis=-1)
     ones = (1,) * (curr.ndim - 1)
     times = t.reshape((-1,) + ones)
     limit = step_size * (1 + cfg.cat_noise_level * times) / (1 - times)
-    unmask = (jax.random.uniform(r2, curr.shape) < limit) \
+    unmask = (_pair_uniform(r2, curr.shape, symmetric) < limit) \
         & (curr == mask_index)
-    mask_new = (jax.random.uniform(r3, curr.shape)
+    mask_new = (_pair_uniform(r3, curr.shape, symmetric)
                 < step_size * cfg.cat_noise_level) & (curr != mask_index)
     mask_new = mask_new & (times + step_size < 1.0)
     out = jnp.where(unmask, pred, curr)
@@ -318,27 +341,37 @@ def integrator_step(rng, cfg: IntegratorConfig, curr, predicted, prior, t,
             r_coord, coord_velocity.shape) * cfg.coord_noise_std
     coords = curr["coords"] + step_size * coord_velocity
 
-    def cat_step(rng_c, strategy, curr_dist, pred_dist, prior_dist, mask_idx):
+    def cat_step(rng_c, strategy, curr_dist, pred_dist, prior_dist, mask_idx,
+                 symmetric):
+        # symmetric=True for bonds: the stochastic draws are mirrored
+        # across the (i, j) pair axes so the sampled bond state stays
+        # symmetric — the convention every training-time state follows
+        # (sample_prior_batch/interpolate_batch symmetrize; the model
+        # symmetrizes its predicted edge logits, so pred_dist is symmetric
+        # and symmetric noise suffices for closure).
         if strategy == "linear":
             v = pred_dist - prior_dist  # E_pred[onehot] - prior
             return curr_dist + step_size * v
         if strategy == "dirichlet":
             g = jax.random.gamma(rng_c, jnp.maximum(pred_dist + cfg.eps, 1e-6))
+            if symmetric:
+                g = _symmetrize_pair_noise(g)
             sample = g / g.sum(-1, keepdims=True)
             return curr_dist + step_size * sample
         if strategy == "mask":
             return _mask_sampling_step(rng_c, cfg, curr_dist, pred_dist, t,
-                                       mask_idx, step_size)
+                                       mask_idx, step_size, symmetric)
         if strategy == "uniform-sample":
             return _uniform_sample_step(rng_c, cfg, curr_dist, pred_dist, t,
-                                        step_size)
+                                        step_size, symmetric)
         raise ValueError(strategy)
 
     atomics = cat_step(r_type, cfg.type_strategy, curr["atomics"],
                        predicted["atomics"], prior["atomics"],
-                       cfg.type_mask_index)
+                       cfg.type_mask_index, symmetric=False)
     bonds = cat_step(r_bond, cfg.bond_strategy, curr["bonds"],
-                     predicted["bonds"], prior["bonds"], cfg.bond_mask_index)
+                     predicted["bonds"], prior["bonds"], cfg.bond_mask_index,
+                     symmetric=True)
     mask = curr["mask"]
     pair_mask = (mask[:, :, None] * mask[:, None, :])[..., None]
     return {"coords": coords * mask[..., None],

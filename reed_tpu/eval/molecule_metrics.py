@@ -260,6 +260,182 @@ class MoleculeMetrics:
         return metrics
 
 
+# ---------------------------------------------------------------------------
+# SemlaFlow-style GRAPH metrics: the model co-generates bond categories, so
+# stability/validity/uniqueness are computed over the PREDICTED bond graph —
+# NOT re-inferred from coordinate distances (that is the EDM metric above).
+# Reference: semlaflow/flowmodels/fm.py:276-306 (atom_stabilities: predicted
+# adjacency, aromatic counts 1.5, charge-aware valences),
+# semlaflow/util/metrics.py:12-60 (ALLOWED_VALENCIES) + :162-198
+# (Validity = RDKit sanitize on the built mol, fc-validity additionally
+# requires connectivity; Uniqueness = canonical smiles over valid mols),
+# semlaflow/util/rdkit.py:63-79 (bond order 4 = aromatic; charge index map).
+# ---------------------------------------------------------------------------
+
+SEMLA_ALLOWED_VALENCIES = {
+    "H": {0: 1, 1: 0, -1: 0},
+    "C": {0: [3, 4], 1: 3, -1: 3},
+    "N": {0: [2, 3], 1: [2, 3, 4], -1: 2},
+    "O": {0: 2, 1: 3, -1: 1},
+    "F": {0: 1, -1: 0},
+    "B": 3, "Al": 3, "Si": 4,
+    "P": {0: [3, 5], 1: 4},
+    "S": {0: [2, 6], 1: [2, 3], 2: 4, 3: 5, -1: 3},
+    "Cl": 1, "As": 3,
+    "Br": {0: 1, 1: 2},
+    "I": 1, "Hg": [1, 2], "Bi": [3, 5],
+}
+
+# charge-head category index -> formal charge (semlaflow/util/rdkit.py:71-79)
+SEMLA_IDX_CHARGES = (0, 1, 2, 3, -1, -2, -3)
+
+
+def _is_valid_valence(valence: float, allowed, charge: int) -> bool:
+    if isinstance(allowed, int):
+        return allowed == valence
+    if isinstance(allowed, (list, tuple)):
+        return valence in allowed
+    if isinstance(allowed, dict):
+        entry = allowed.get(charge)
+        if entry is None:
+            return False
+        return _is_valid_valence(valence, entry, charge)
+    return False
+
+
+def graph_valences(orders: np.ndarray) -> np.ndarray:
+    """Integer valences from a predicted bond-order matrix: aromatic (4)
+    counts 1.5, then truncate (reference: fm.py:287-290
+    `adj[adj == 4] = 1.5; adj.sum(-1).long()`)."""
+    o = np.asarray(orders, np.float64).copy()
+    o[np.asarray(orders) == 4] = 1.5
+    return o.sum(-1).astype(np.int64)
+
+
+def check_graph_stability(atom_types: Sequence[int], orders: np.ndarray,
+                          charges: Optional[Sequence[int]] = None,
+                          atom_decoder: Sequence[str] = QM9_ATOM_DECODER,
+                          ) -> Tuple[bool, int, int]:
+    """(molecule_stable, n_stable_atoms, n_atoms) over the PREDICTED bond
+    graph with charge-aware allowed valences (fm.py:276-306)."""
+    n = len(atom_types)
+    if charges is None:
+        charges = [0] * n
+    valences = graph_valences(orders)
+    n_stable = 0
+    for t, v, c in zip(atom_types, valences, charges):
+        sym = atom_decoder[int(t)]
+        allowed = SEMLA_ALLOWED_VALENCIES.get(sym)
+        if allowed is None:
+            continue
+        n_stable += int(_is_valid_valence(int(v), allowed, int(c)))
+    return n_stable == n, n_stable, n
+
+
+def _mol_from_graph_charged(positions, atom_types, orders, charges,
+                            atom_decoder):
+    """RDKit mol from a predicted graph with aromatic bonds + formal charges
+    (reference: semlaflow/util/rdkit.py mol_from_atoms)."""
+    mol = Chem.RWMol()
+    for t, c in zip(atom_types, charges):
+        a = Chem.Atom(atom_decoder[int(t)])
+        a.SetFormalCharge(int(c))
+        mol.AddAtom(a)
+    btype = {1: Chem.BondType.SINGLE, 2: Chem.BondType.DOUBLE,
+             3: Chem.BondType.TRIPLE, 4: Chem.BondType.AROMATIC}
+    n = len(atom_types)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if orders[i, j] > 0:
+                mol.AddBond(i, j, btype[int(orders[i, j])])
+    conf = Chem.Conformer(n)
+    for i in range(n):
+        conf.SetAtomPosition(i, [float(x) for x in positions[i]])
+    mol.AddConformer(conf)
+    return mol
+
+
+def _charged_graph_key(orders: np.ndarray, atom_types: Sequence[int],
+                       charges: Sequence[int]) -> str:
+    """RDKit-free uniqueness key over (types, charges, bond multiset)."""
+    n = len(atom_types)
+    deg = graph_valences(orders)
+    rows = sorted(
+        (int(atom_types[i]), int(charges[i]), int(deg[i]),
+         tuple(sorted((int(atom_types[j]), int(orders[i, j]))
+                      for j in range(n) if orders[i, j] > 0)))
+        for i in range(n))
+    return str(rows)
+
+
+@dataclass
+class GraphMoleculeMetrics:
+    """SemlaFlow metric collection over PREDICTED molecule graphs: each
+    molecule is (positions [N,3], atom_types [N], bond_orders [N,N] int,
+    formal_charges [N] int or None). Reports stability (charge-aware
+    valences, aromatic=1.5), validity (RDKit sanitize; rdkit-free fallback =
+    every valence valid), fc_validity (additionally connected), uniqueness
+    (canonical smiles / graph hash over valid molecules), and the geometry
+    audit pb_valid over distance-inferred bonds (coordinates must still be
+    plausible even though validity is graph-based)."""
+
+    atom_decoder: Sequence[str] = tuple(QM9_ATOM_DECODER)
+    dataset: str = "qm9"
+    train_keys: Optional[set] = None
+
+    def evaluate(self, molecules) -> Dict[str, float]:
+        n_mols = len(molecules)
+        mol_stable = 0
+        atoms_stable = 0
+        atoms_total = 0
+        valid_keys = []
+        fc_valid = 0
+        for positions, atom_types, orders, charges in molecules:
+            if charges is None:
+                charges = np.zeros(len(atom_types), np.int64)
+            stable, n_stable, n = check_graph_stability(
+                atom_types, orders, charges, self.atom_decoder)
+            mol_stable += int(stable)
+            atoms_stable += n_stable
+            atoms_total += n
+            connected = _connected(np.asarray(orders))
+
+            if HAVE_RDKIT:
+                try:
+                    mol = _mol_from_graph_charged(
+                        positions, atom_types, orders, charges,
+                        self.atom_decoder)
+                    Chem.SanitizeMol(mol)
+                    valid_keys.append(Chem.MolToSmiles(mol))
+                    fc_valid += int(connected)
+                except Exception:
+                    pass
+            else:
+                # rdkit-free proxy for sanitize: every atom at an allowed
+                # (charge-aware) valence
+                if stable:
+                    valid_keys.append(_charged_graph_key(
+                        np.asarray(orders), atom_types, charges))
+                    fc_valid += int(connected)
+
+        n_valid = len(valid_keys)
+        unique = set(valid_keys)
+        metrics = {
+            "mol_stable": mol_stable / max(1, n_mols),
+            "atom_stable": atoms_stable / max(1, atoms_total),
+            "validity": n_valid / max(1, n_mols),
+            "fc_validity": fc_valid / max(1, n_mols),
+            "uniqueness": len(unique) / max(1, n_valid),
+        }
+        coords_mols = [(p, t) for p, t, _, _ in molecules]
+        metrics["pb_valid"] = posebusters_checks(
+            coords_mols, self.atom_decoder, self.dataset)["pb_valid"]
+        if self.train_keys is not None:
+            novel = [k for k in unique if k not in self.train_keys]
+            metrics["novelty"] = len(novel) / max(1, len(unique))
+        return metrics
+
+
 def _largest_fragment(orders: np.ndarray) -> np.ndarray:
     """Indices of the largest connected component of the bond graph."""
     n = orders.shape[0]

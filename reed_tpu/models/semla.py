@@ -492,12 +492,24 @@ class EquiInvDynamics(nn.Module):
     rep_alignment: bool = False
     align_depth: Sequence[int] = (6,)
     d_projector: Optional[int] = None
+    # predict coords as a residual off the input state (x1_hat = x_t + delta)
+    # instead of absolute coords. Off by default (reference parity: the
+    # reference head, semla.py:700-720, is absolute, reconstructing magnitude
+    # from length-normalized coord sets). Adds NO parameters, so converted
+    # checkpoints are unaffected by the flag's existence. Opt in when the
+    # target geometry must be hit to high absolute precision: the absolute
+    # head's late-t coordinate floor (~0.06 A rms on the rigid chains family)
+    # exceeds the EDM-style bond-window tolerance (~0.03 A), while with the
+    # skip the late-t task is a near-identity copy.
+    coord_skip: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, coords, inv_feats, adj_matrix, atom_mask,
                  edge_feats=None, cond_coords=None, rep=None, times=None):
         from reed_tpu.nn.layers import ProjectorMLP, timestep_embedding
+
+        coords_in = coords.astype(jnp.float32)  # [B,N,3] current state
 
         if rep is not None and times is not None:
             t_emb = timestep_embedding(times, 512)
@@ -558,6 +570,8 @@ class EquiInvDynamics(nn.Module):
                                name="coord_norm")(coords, atom_mask)
         out_coords = nn.Dense(1, use_bias=False, dtype=jnp.float32,
                               name="coord_head")(out_coords)[..., 0]  # [B,N,3]
+        if self.coord_skip:
+            out_coords = out_coords + coords_in
 
         if self.bond_refine and self.d_edge is not None:
             edge_out = BondRefine(self.d_message, self.d_edge,
@@ -606,6 +620,7 @@ class SemlaGenerator(nn.Module):
     cond_type: str = "none"
     align_depth: Sequence[int] = (4,)
     d_projector: Optional[int] = None
+    coord_skip: bool = False  # residual coord head (see EquiInvDynamics)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -658,7 +673,8 @@ class SemlaGenerator(nn.Module):
             self_cond=self.self_cond, coord_norm=self.coord_norm,
             d_rep=self.d_rep, cond_type=self.cond_type,
             rep_alignment=self.rep_alignment, align_depth=self.align_depth,
-            d_projector=self.d_projector, dtype=self.dtype, name="dynamics")(
+            d_projector=self.d_projector, coord_skip=self.coord_skip,
+            dtype=self.dtype, name="dynamics")(
             coords, atom_feats, adj_matrix, atom_mask, edge_feats=e,
             cond_coords=cond_coords, rep=rep, times=times)
 

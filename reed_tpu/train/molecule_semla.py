@@ -60,19 +60,29 @@ class SemlaTrainConfig:
     # losses
     type_strategy: str = "ce"        # ce | mse | mask
     bond_strategy: str = "ce"        # ce | mask
-    type_loss_weight: float = 1.0
+    # reference training recipe defaults (semlaflow/train.py:51-62):
+    # type loss downweighted 0.2; TRAIN-time coordinate noise 0.2 A teaches
+    # the model to snap noisy geometry back to the manifold (without it the
+    # sampler's own coordinate error compounds: generated graphs drift
+    # off-manifold and type/bond predictions go inconsistent — round-4
+    # graph audit); sampling-time categorical churn level 1.
+    type_loss_weight: float = 0.2
     bond_loss_weight: float = 1.0
     charge_loss_weight: float = 1.0
     diffusion_loss_max_step: int = 0
     # interpolant / integrator
-    interpolant: MoleculeInterpolantConfig = MoleculeInterpolantConfig()
-    integrator: IntegratorConfig = IntegratorConfig()
+    interpolant: MoleculeInterpolantConfig = MoleculeInterpolantConfig(
+        coord_noise_std=0.2)
+    integrator: IntegratorConfig = IntegratorConfig(cat_noise_level=1.0)
     batch_size: int = 64
     optim: OptimConfig = OptimConfig(lr=3e-4, schedule="constant")
     curriculum: CurriculumConfig = CurriculumConfig(proj_coeff=0.2,
                                                     diffusion_warmup_steps=0)
     mesh: MeshConfig = MeshConfig()
     compute_dtype: str = "float32"
+    # residual coord head (x1_hat = x_t + delta); param-tree-neutral, off by
+    # default for reference parity — see models/semla.py EquiInvDynamics
+    coord_skip: bool = False
     seed: int = 0
 
 
@@ -118,6 +128,7 @@ def build_model(cfg: SemlaTrainConfig):
         d_rep=cfg.d_rep,
         cond_type=cfg.cond_type,
         align_depth=tuple(cfg.align_depth),
+        coord_skip=cfg.coord_skip,
         dtype=jnp.dtype(cfg.compute_dtype),
     )
 

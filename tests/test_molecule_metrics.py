@@ -213,3 +213,129 @@ def test_chain_family_ground_truth_is_valid_and_diverse():
     assert scores["validity"] == 1.0
     assert scores["atom_stable"] == 1.0
     assert scores["uniqueness"] >= 0.5
+
+
+def _orders_from_bondlist(n, bonds):
+    o = np.zeros((n, n), np.int64)
+    for i, j, order in bonds:
+        o[i, j] = o[j, i] = order
+    return o
+
+
+def test_graph_metrics_semla_semantics():
+    """GraphMoleculeMetrics scores the PREDICTED bond graph with the
+    reference SemlaFlow rules (fm.py:276-306 + util/metrics.py:12-60):
+    charge-aware valences, aromatic bonds count 1.5, validity needs every
+    valence legal, fc_validity additionally connectivity."""
+    from reed_tpu.eval.molecule_metrics import GraphMoleculeMetrics
+
+    gm = GraphMoleculeMetrics()
+    # methane: C + 4 H, all single bonds — coords deliberately WRONG
+    # (graph metrics must not care as long as geometry audit is separate)
+    pos = np.zeros((5, 3), np.float32)
+    pos[1:] = np.array([[5, 0, 0], [0, 5, 0], [0, 0, 5], [3, 3, 3]],
+                       np.float32)
+    types = np.array([1, 0, 0, 0, 0])
+    orders = _orders_from_bondlist(5, [(0, i, 1) for i in range(1, 5)])
+    m = gm.evaluate([(pos, types, orders, None)])
+    assert m["mol_stable"] == 1.0
+    assert m["validity"] == 1.0
+    assert m["fc_validity"] == 1.0
+    assert m["uniqueness"] == 1.0
+
+    # drop one H bond: carbon valence 3 is allowed for semla (radical),
+    # but the H with zero bonds is unstable -> invalid
+    orders2 = _orders_from_bondlist(5, [(0, i, 1) for i in range(1, 4)])
+    m2 = gm.evaluate([(pos, types, orders2, None)])
+    assert m2["mol_stable"] == 0.0
+    assert m2["validity"] == 0.0
+    assert m2["atom_stable"] == 4 / 5
+
+
+def test_graph_metrics_aromatic_counts_half():
+    """Aromatic bond order (4) contributes 1.5 to the valence sum, truncated
+    like the reference (adj[adj==4]=1.5; .sum().long()): a benzene carbon
+    with 2 aromatic + 1 single-H = 4.0 -> stable."""
+    from reed_tpu.eval.molecule_metrics import check_graph_stability
+
+    n = 12  # benzene C6H6
+    bonds = []
+    for i in range(6):
+        bonds.append((i, (i + 1) % 6, 4))     # aromatic ring
+        bonds.append((i, 6 + i, 1))           # C-H
+    orders = _orders_from_bondlist(n, bonds)
+    types = np.array([1] * 6 + [0] * 6)
+    stable, n_stable, total = check_graph_stability(types, orders)
+    assert stable and n_stable == total == 12
+
+
+def test_graph_metrics_charge_aware_valence():
+    """N at +1 with 4 single bonds is stable; at charge 0 it is not
+    (ALLOWED_VALENCIES['N'] = {0: [2,3], 1: [2,3,4]})."""
+    from reed_tpu.eval.molecule_metrics import check_graph_stability
+
+    # NH4: N + 4 H
+    types = np.array([2, 0, 0, 0, 0])
+    orders = _orders_from_bondlist(5, [(0, i, 1) for i in range(1, 5)])
+    ok_plus, _, _ = check_graph_stability(types, orders,
+                                          charges=[1, 0, 0, 0, 0])
+    ok_zero, _, _ = check_graph_stability(types, orders,
+                                          charges=[0, 0, 0, 0, 0])
+    assert ok_plus and not ok_zero
+
+
+def test_graph_metrics_fc_validity_needs_connectivity():
+    """Two valence-perfect fragments in one 'molecule': validity passes
+    (sanitize has no connectivity requirement — reference Validity()),
+    fc_validity fails (Validity(connected=True))."""
+    from reed_tpu.eval.molecule_metrics import GraphMoleculeMetrics
+
+    # two H2 molecules far apart
+    pos = np.array([[0, 0, 0], [0.74, 0, 0], [10, 0, 0], [10.74, 0, 0]],
+                   np.float32)
+    types = np.array([0, 0, 0, 0])
+    orders = _orders_from_bondlist(4, [(0, 1, 1), (2, 3, 1)])
+    m = GraphMoleculeMetrics().evaluate([(pos, types, orders, None)])
+    assert m["validity"] == 1.0
+    assert m["fc_validity"] == 0.0
+
+
+def test_graph_metrics_uniqueness_counts_distinct_graphs():
+    from reed_tpu.eval.molecule_metrics import GraphMoleculeMetrics
+
+    pos = np.zeros((2, 3), np.float32)
+    pos[1, 0] = 0.74
+    h2 = (pos, np.array([0, 0]), _orders_from_bondlist(2, [(0, 1, 1)]), None)
+    pos_o = np.zeros((3, 3), np.float32)
+    pos_o[1, 0] = 0.96
+    pos_o[2, 1] = 0.96
+    water = (pos_o, np.array([3, 0, 0]),
+             _orders_from_bondlist(3, [(0, 1, 1), (0, 2, 1)]), None)
+    m = GraphMoleculeMetrics().evaluate([h2, h2, water])
+    assert m["validity"] == 1.0
+    assert m["uniqueness"] == 2 / 3
+
+
+def test_chain_family_graph_ground_truth_is_valid_and_diverse():
+    """The convergence-run acceptance metric (semla protocol = predicted
+    graph) scores the chain family's ground truth perfectly with real
+    diversity: the model only has to reproduce its own co-generated graph
+    consistently, not hit 0.03-A coordinate windows."""
+    from reed_tpu.data.synthetic import chain_templates
+    from reed_tpu.eval.molecule_metrics import GraphMoleculeMetrics
+
+    fam = chain_templates()
+    r = np.random.default_rng(0)
+    mols = []
+    for i in r.integers(0, len(fam), size=256):
+        t = fam[i]
+        n = len(t["types"])
+        mols.append((t["coords"], t["types"],
+                     _orders_from_bondlist(n, t["bonds"]), None))
+    m = GraphMoleculeMetrics().evaluate(mols)
+    assert m["mol_stable"] == 1.0
+    assert m["validity"] == 1.0
+    assert m["fc_validity"] == 1.0
+    assert m["atom_stable"] == 1.0
+    assert m["uniqueness"] >= 0.5
+    assert m["pb_valid"] == 1.0

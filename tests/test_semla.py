@@ -206,6 +206,88 @@ def test_integrator_mask_strategy_unmasks():
     assert out["coords"].shape == (b, n, 3)
 
 
+@pytest.mark.parametrize("strategy", ["uniform-sample", "mask", "dirichlet"])
+def test_integrator_keeps_bonds_symmetric(strategy):
+    """Training states are always bond-symmetric (sample_prior_batch /
+    interpolate_batch symmetrize), so integrated states must stay on that
+    manifold: independent ij/ji draws were measured to corrupt semla
+    generation (teacher-forced t0=0.95 starts degraded to atom_stable
+    0.47, round-4 chains diagnosis)."""
+    from reed_tpu.diffusion.molecule_fm import (IntegratorConfig,
+                                                MoleculePriorConfig,
+                                                integrator_step,
+                                                sample_prior_batch)
+
+    mask_idx = 0 if strategy == "mask" else None
+    cfg = IntegratorConfig(steps=10, type_strategy=strategy,
+                           bond_strategy=strategy, cat_noise_level=0.2,
+                           type_mask_index=mask_idx, bond_mask_index=mask_idx)
+    b, n, v, e = 3, 7, 5, 4
+    prior_np = sample_prior_batch(
+        np.random.default_rng(0),
+        MoleculePriorConfig(vocab_size=v, n_bond_types=e,
+                            type_noise=("mask" if strategy == "mask"
+                                        else "uniform-sample"),
+                            bond_noise=("mask" if strategy == "mask"
+                                        else "uniform-sample"),
+                            type_mask_index=mask_idx,
+                            bond_mask_index=mask_idx),
+        np.ones((b, n), np.float32))
+    curr = {k: jnp.asarray(val) for k, val in prior_np.items()}
+    r = np.random.default_rng(1)
+    pred_bonds = jnp.asarray(r.dirichlet(np.ones(e), size=(b, n, n)),
+                             jnp.float32)
+    pred_bonds = 0.5 * (pred_bonds + jnp.swapaxes(pred_bonds, 1, 2))
+    predicted = {
+        "coords": jnp.asarray(r.standard_normal((b, n, 3)), jnp.float32),
+        "atomics": jnp.asarray(r.dirichlet(np.ones(v), size=(b, n)),
+                               jnp.float32),
+        "bonds": pred_bonds,
+    }
+    out = curr
+    for i in range(5):
+        out = integrator_step(jax.random.PRNGKey(i), cfg, out, predicted,
+                              curr, jnp.full((3,), 0.1 + 0.1 * i),
+                              step_size=0.1)
+        bonds = np.asarray(out["bonds"])
+        np.testing.assert_allclose(bonds, bonds.swapaxes(1, 2), atol=1e-6,
+                                   err_msg=f"asymmetric after step {i}")
+
+
+def test_coord_skip_is_param_neutral_residual():
+    """coord_skip=True adds NO parameters (converted checkpoints are
+    unaffected) and, with identical params, shifts the predicted coords by
+    exactly zero_com(input coords) — i.e. it is a pure residual
+    reparameterization of the head."""
+    from reed_tpu.models.semla import SemlaGenerator, zero_com
+
+    kwargs = dict(d_model=32, vocab_size=5, n_atom_feats=5, d_edge=16,
+                  n_edge_types=4, self_cond=False, size_emb=8, max_atoms=9,
+                  n_charge_types=7, rep_alignment=False, d_message=16,
+                  n_coord_sets=8, n_layers=3, n_attn_heads=4,
+                  d_message_hidden=16, d_rep=None)
+    base = SemlaGenerator(**kwargs)
+    skip = SemlaGenerator(coord_skip=True, **kwargs)
+    b, n = 2, 9
+    r = np.random.default_rng(3)
+    coords = jnp.asarray(r.standard_normal((b, n, 3)), jnp.float32)
+    feats = jnp.asarray(r.dirichlet(np.ones(5), size=(b, n)), jnp.float32)
+    bonds = jnp.asarray(r.dirichlet(np.ones(4), size=(b, n, n)), jnp.float32)
+    mask = jnp.ones((b, n), jnp.float32)
+    params = base.init(jax.random.PRNGKey(0), coords, feats,
+                       edge_feats=bonds, atom_mask=mask)["params"]
+    params_skip = skip.init(jax.random.PRNGKey(0), coords, feats,
+                            edge_feats=bonds, atom_mask=mask)["params"]
+    assert (jax.tree.structure(params) == jax.tree.structure(params_skip))
+    out_base = base.apply({"params": params}, coords, feats,
+                          edge_feats=bonds, atom_mask=mask)[0]
+    out_skip = skip.apply({"params": params}, coords, feats,
+                          edge_feats=bonds, atom_mask=mask)[0]
+    np.testing.assert_allclose(np.asarray(out_skip - out_base),
+                               np.asarray(zero_com(coords, mask)),
+                               atol=1e-5)
+
+
 def test_integrator_linear_strategy_moves_toward_prediction():
     from reed_tpu.diffusion.molecule_fm import IntegratorConfig, integrator_step
 

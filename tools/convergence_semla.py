@@ -50,6 +50,16 @@ def main(argv=None):
     ap.add_argument("--score-every", type=int, default=0,
                     help="score EMA params mid-run every N steps (0 = off)")
     ap.add_argument("--integrator-steps", type=int, default=100)
+    ap.add_argument("--train-coord-noise", type=float, default=0.2,
+                    help="TRAIN-time coordinate noise std (reference "
+                         "train.py:62 DEFAULT_COORD_NOISE_STD_DEV=0.2): "
+                         "teaches the model to denoise off-manifold "
+                         "geometry; without it the sampler's own coord "
+                         "error compounds and the co-generated graph goes "
+                         "inconsistent (round-4 graph audit)")
+    ap.add_argument("--cat-noise-level", type=float, default=1.0,
+                    help="sampling-time categorical churn (reference "
+                         "train.py:61 DEFAULT_CAT_SAMPLING_NOISE_LEVEL=1)")
     ap.add_argument("--n-eval", type=int, default=256)
     ap.add_argument("--family", default="chains",
                     choices=("chains", "templates"))
@@ -63,6 +73,11 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32",
                     help="compute dtype (bfloat16 validates the "
                          "mixed-precision path: f32 coords, bf16 features)")
+    ap.add_argument("--coord-skip", action="store_true",
+                    help="residual coord head (x1_hat = x_t + delta): the "
+                         "absolute head's late-t coordinate floor (~0.06 A "
+                         "rms) exceeds the bond-window tolerance (~0.03 A) "
+                         "on the rigid chains family")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args(argv)
@@ -88,7 +103,8 @@ def main(argv=None):
         MoleculePriorConfig,
         interpolate_batch,
     )
-    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+    from reed_tpu.eval.molecule_metrics import (SEMLA_IDX_CHARGES,
+                                                GraphMoleculeMetrics)
     from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
 
     if args.tiny:
@@ -125,10 +141,13 @@ def main(argv=None):
         rep_alignment=False,
         interpolant=MoleculeInterpolantConfig(
             prior=MoleculePriorConfig(vocab_size=TEMPLATE_NUM_TYPES,
-                                      n_bond_types=n_bond_types)),
-        integrator=IntegratorConfig(steps=args.integrator_steps),
+                                      n_bond_types=n_bond_types),
+            coord_noise_std=args.train_coord_noise),
+        integrator=IntegratorConfig(steps=args.integrator_steps,
+                                    cat_noise_level=args.cat_noise_level),
         batch_size=args.batch_size,
         compute_dtype=args.dtype,
+        coord_skip=args.coord_skip,
         optim=OptimConfig(lr=args.lr, grad_clip=1.0,
                           schedule=args.schedule, warmup_steps=args.warmup,
                           total_steps=args.steps),
@@ -159,7 +178,12 @@ def main(argv=None):
             "data": data, "prior": prior, "interpolated": interpolated,
             "times": times})
 
-    metrics_eval = MoleculeMetrics()
+    # SemlaFlow co-generates bond categories: score the PREDICTED graph
+    # (stability from the predicted adjacency, validity/uniqueness over the
+    # built molecule — reference fm.py:677-693 + :276-306), not bonds
+    # re-inferred from coordinate distances (that is the EDM metric).
+    metrics_eval = GraphMoleculeMetrics()
+    charge_map = np.asarray(SEMLA_IDX_CHARGES, np.int64)
 
     def score(params, seed: int):
         r = np.random.default_rng(30_000 + seed)
@@ -171,7 +195,11 @@ def main(argv=None):
         final = trainer.generate(params, jax.random.PRNGKey(seed), prior)
         coords = jax.device_get(final["coords"])
         types = np.argmax(jax.device_get(final["atomics"]), axis=-1)
-        mols = [(coords[b, :sizes[b]], types[b, :sizes[b]])
+        orders = np.argmax(jax.device_get(final["bonds"]), axis=-1)
+        charges = charge_map[np.argmax(jax.device_get(final["charges"]),
+                                       axis=-1)]
+        mols = [(coords[b, :sizes[b]], types[b, :sizes[b]],
+                 orders[b, :sizes[b], :sizes[b]], charges[b, :sizes[b]])
                 for b in range(args.n_eval)]
         return metrics_eval.evaluate(mols)
 
@@ -230,7 +258,10 @@ def main(argv=None):
                    "lr": args.lr, "schedule": args.schedule,
                    "warmup": args.warmup,
                    "integrator_steps": args.integrator_steps,
-                   "dtype": args.dtype, "family": args.family,
+                   "dtype": args.dtype, "coord_skip": args.coord_skip,
+                   "train_coord_noise": args.train_coord_noise,
+                   "cat_noise_level": args.cat_noise_level,
+                   "family": args.family,
                    "n_classes": len(family),
                    "n_eval": args.n_eval},
         "loss_curve": losses,

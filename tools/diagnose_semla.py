@@ -35,6 +35,16 @@ def main(argv=None):
                          "teacher-forced interpolant at t0 and score the "
                          "final molecules — locates WHERE the generated "
                          "trajectory leaves the data manifold")
+    ap.add_argument("--graph-audit", action="store_true",
+                    help="audit the PREDICTED graph: valence breakdown per "
+                         "type from generated bonds, bond marginals vs "
+                         "family, bond/coord consistency, teacher-forced "
+                         "type/bond accuracies at fixed t")
+    ap.add_argument("--trace-traj", action="store_true",
+                    help="step-by-step trajectory trace from t0=0.95: "
+                         "per-step prediction/current accuracy vs the "
+                         "source molecules, with self-conditioning on vs "
+                         "zeroed — isolates the corruption channel")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,9 +82,13 @@ def main(argv=None):
         size_emb=16, d_rep=None, rep_alignment=False,
         interpolant=MoleculeInterpolantConfig(
             prior=MoleculePriorConfig(vocab_size=TEMPLATE_NUM_TYPES,
-                                      n_bond_types=n_bond_types)),
-        integrator=IntegratorConfig(steps=run["integrator_steps"]),
+                                      n_bond_types=n_bond_types),
+            coord_noise_std=run.get("train_coord_noise", 0.0)),
+        integrator=IntegratorConfig(
+            steps=run["integrator_steps"],
+            cat_noise_level=run.get("cat_noise_level", 0.0)),
         batch_size=run["batch_size"], compute_dtype=run["dtype"],
+        coord_skip=run.get("coord_skip", False),
         optim=OptimConfig(lr=run["lr"], grad_clip=1.0),
         curriculum=CurriculumConfig(proj_coeff=0.0, diffusion_warmup_steps=0,
                                     ema_decay=0.995),
@@ -99,6 +113,199 @@ def main(argv=None):
         return {"coords": raw["coords"], "atomics": atomics, "bonds": bonds,
                 "charges": charges, "mask": m}
 
+    if args.trace_traj:
+        # Per-step trace of the integration from a teacher-forced t0=0.95
+        # start, under (a) normal self-conditioning, (b) zeroed cond (the
+        # 50% of training steps with cond=0 make zeros in-distribution),
+        # (c) frozen ground-truth types/bonds (only coords integrate).
+        # Whichever knob restores late-t accuracy names the feedback
+        # channel that corrupts generation.
+        import dataclasses
+        import functools
+
+        import jax.numpy as jnp2  # noqa: F401
+
+        t0 = 0.95
+        steps = run["integrator_steps"]
+        icfg = dataclasses.replace(cfg.interpolant, fixed_time=t0)
+        raw = template_molecule_batch(np.random.default_rng(321),
+                                      args.n_gen, max_n, templates=family)
+        data = build_data(raw)
+        _, interp, _ = interpolate_batch(np.random.default_rng(9), icfg,
+                                         data)
+        tp = np.linspace(t0, 1.0, steps + 1)
+        times_arr = jnp.asarray(tp[:-1], jnp.float32)
+        sizes_arr = jnp.asarray(np.diff(tp), jnp.float32)
+        src_coords = jnp.asarray(data["coords"])
+        src_types = jnp.asarray(raw["types"])
+        msk = jnp.asarray(raw["mask"])
+        nmask = msk.sum() * 1.0
+
+        from reed_tpu.diffusion.molecule_fm import integrator_step
+
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def traced(p, rng, curr0, mode):
+            b = curr0["coords"].shape[0]
+
+            def predict(curr, t_vec, cond_batch):
+                coords, tl, bl, cl, _ = trainer.model.apply(
+                    {"params": p}, curr["coords"], curr["atomics"],
+                    edge_feats=curr["bonds"],
+                    cond_coords=cond_batch["coords"],
+                    cond_atomics=cond_batch["atomics"],
+                    cond_bonds=cond_batch["bonds"],
+                    atom_mask=curr["mask"], rep=None, times=t_vec)
+                return {"coords": coords,
+                        "atomics": jax.nn.softmax(tl, axis=-1),
+                        "bonds": jax.nn.softmax(bl, axis=-1),
+                        "charges": jax.nn.softmax(cl, axis=-1)}
+
+            zero_cond = {"coords": jnp.zeros_like(curr0["coords"]),
+                         "atomics": jnp.zeros_like(curr0["atomics"]),
+                         "bonds": jnp.zeros_like(curr0["bonds"])}
+
+            def body(carry, i):
+                curr, cond_batch = carry
+                t_vec = jnp.full((b,), times_arr[i])
+                predicted = predict(curr, t_vec, cond_batch)
+                new = integrator_step(jax.random.fold_in(rng, i),
+                                      trainer.cfg.integrator, curr,
+                                      predicted, curr0, t_vec, sizes_arr[i])
+                if mode == "frozen_cat":
+                    new = dict(new)
+                    new["atomics"] = curr0["atomics"]
+                    new["bonds"] = curr0["bonds"]
+                new_cond = (zero_cond if mode == "zero_cond" else
+                            {"coords": predicted["coords"],
+                             "atomics": predicted["atomics"],
+                             "bonds": predicted["bonds"]})
+                pe = jnp.sqrt(((predicted["coords"] - src_coords) ** 2
+                               * msk[..., None]).sum() / (nmask * 3))
+                ce = jnp.sqrt(((new["coords"] - src_coords) ** 2
+                               * msk[..., None]).sum() / (nmask * 3))
+                pa = ((predicted["atomics"].argmax(-1) == src_types)
+                      * msk).sum() / nmask
+                ca = ((new["atomics"].argmax(-1) == src_types)
+                      * msk).sum() / nmask
+                return (new, new_cond), (pe, ce, pa, ca)
+
+            (_, _), aux = jax.lax.scan(body, (curr0, zero_cond),
+                                       jnp.arange(steps))
+            return aux
+
+        curr0 = {k: jnp.asarray(v) for k, v in interp.items()}
+        for mode in ("normal", "zero_cond", "frozen_cat"):
+            pe, ce, pa, ca = [np.asarray(jax.device_get(x))
+                              for x in traced(params, jax.random.PRNGKey(11),
+                                              curr0, mode)]
+            print(f"--- mode={mode} (t0={t0}, {steps} steps) ---",
+                  flush=True)
+            for i in (0, 20, 40, 60, 80, 90, 95, 99):
+                print(f"  step {i:3d} t={tp[i]:.4f}: pred_rms={pe[i]:.4f} "
+                      f"curr_rms={ce[i]:.4f} pred_acc={pa[i]:.4f} "
+                      f"curr_acc={ca[i]:.4f}", flush=True)
+        return
+
+    if args.graph_audit:
+        # Where does the PREDICTED graph go wrong? (a) full generation:
+        # valence breakdown per atom type from the predicted bonds, bond
+        # marginals vs the family's, bond/coord consistency; (b) teacher-
+        # forced single-call accuracy of types/bonds/charges at fixed t —
+        # the bond channel was never measured separately before.
+        import dataclasses
+
+        from reed_tpu.eval.molecule_metrics import graph_valences
+
+        r = np.random.default_rng(77)
+        sizes = np.array([len(family[i]["types"])
+                          for i in r.integers(0, len(family),
+                                              size=args.n_gen)])
+        mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
+        prior = trainer.sample_prior(r, mask)
+        final = trainer.generate(params, jax.random.PRNGKey(7), prior)
+        coords = np.asarray(jax.device_get(final["coords"]))
+        types = np.argmax(np.asarray(jax.device_get(final["atomics"])), -1)
+        orders = np.argmax(np.asarray(jax.device_get(final["bonds"])), -1)
+
+        val_stat = {s: Counter() for s in QM9_ATOM_DECODER}
+        bond_marg = Counter()
+        bond_dists = {1: [], 0: []}
+        allowed = {"H": 1, "C": 4, "N": 3, "O": 2, "F": 1}
+        for b in range(args.n_gen):
+            n = sizes[b]
+            o = orders[b, :n, :n]
+            o = np.triu(o, 1) + np.triu(o, 1).T  # count upper, mirror
+            v = graph_valences(o)
+            for i in range(n):
+                sym = QM9_ATOM_DECODER[types[b, i]]
+                a = allowed.get(sym, 0)
+                key = ("ok" if v[i] == a else
+                       ("high" if v[i] > a else "low"))
+                val_stat[sym][key] += 1
+            iu = np.triu_indices(n, 1)
+            for t_b in o[iu]:
+                bond_marg[int(t_b)] += 1
+            d = np.linalg.norm(coords[b, :n, None] - coords[b, None, :n],
+                               axis=-1)
+            for i, j in zip(*iu):
+                if o[i, j] == 1:
+                    bond_dists[1].append(d[i, j])
+                elif d[i, j] < 1.8:
+                    bond_dists[0].append(d[i, j])
+        print("valence from PREDICTED bonds (generated):", flush=True)
+        for sym, c in val_stat.items():
+            if c:
+                print(f"  {sym}: {dict(c)}", flush=True)
+        tot = sum(bond_marg.values())
+        fam_pairs = Counter()
+        for t in family:
+            n = len(t["types"])
+            fam_pairs[1] += len(t["bonds"])
+            fam_pairs[0] += n * (n - 1) // 2 - len(t["bonds"])
+        ftot = sum(fam_pairs.values())
+        print(f"bond marginals gen: "
+              f"{ {k: round(v / tot, 4) for k, v in bond_marg.items()} } "
+              f"family: { {k: round(v / ftot, 4) for k, v in fam_pairs.items()} }",
+              flush=True)
+        b1 = np.asarray(bond_dists[1])
+        print(f"predicted single bonds: n={len(b1)} "
+              f"dist mean={b1.mean():.3f} std={b1.std():.3f} "
+              f"frac>1.8A={float((b1 > 1.8).mean()):.3f}", flush=True)
+        print(f"close pairs (<1.8A) predicted NON-bonded: "
+              f"{len(bond_dists[0])}", flush=True)
+
+        # (b) teacher-forced single-call accuracies
+        for t0 in (0.5, 0.8, 0.9, 0.95, 0.99):
+            icfg = dataclasses.replace(cfg.interpolant, fixed_time=t0)
+            raw = template_molecule_batch(np.random.default_rng(321),
+                                          args.n_gen, max_n,
+                                          templates=family)
+            data = build_data(raw)
+            _, interp, times = interpolate_batch(
+                np.random.default_rng(9), icfg, data)
+            curr = {k: jnp.asarray(v) for k, v in interp.items()}
+            _, tl, bl, _, _ = trainer.model.apply(
+                {"params": params}, curr["coords"], curr["atomics"],
+                edge_feats=curr["bonds"],
+                cond_coords=jnp.zeros_like(curr["coords"]),
+                cond_atomics=jnp.zeros_like(curr["atomics"]),
+                cond_bonds=jnp.zeros_like(curr["bonds"]),
+                atom_mask=curr["mask"], rep=None,
+                times=jnp.asarray(times))
+            ptypes = np.argmax(np.asarray(jax.device_get(tl)), -1)
+            pbonds = np.argmax(np.asarray(jax.device_get(bl)), -1)
+            m2 = raw["mask"]
+            pm = m2[:, :, None] * m2[:, None, :]
+            src_bonds = np.minimum(raw["bond_orders"], n_bond_types - 1)
+            tacc = ((ptypes == raw["types"]) * m2).sum() / m2.sum()
+            bacc = ((pbonds == src_bonds) * pm).sum() / pm.sum()
+            # bonds are ~93% 'none': also report accuracy on TRUE bonds only
+            isb = (src_bonds > 0) * pm
+            bacc_pos = ((pbonds == src_bonds) * isb).sum() / isb.sum()
+            print(f"t={t0}: type_acc={tacc:.4f} bond_acc={bacc:.4f} "
+                  f"bond_acc(true bonds)={bacc_pos:.4f}", flush=True)
+        return
+
     if args.from_t:
         # Bisect: teacher-forced interpolant at t0 -> integrate t0->1 with
         # the SAME compiled scan (steps count fixed so one compile serves
@@ -109,8 +316,8 @@ def main(argv=None):
         # teacher-forced manifold.
         import dataclasses
 
-        from reed_tpu.eval.molecule_metrics import MoleculeMetrics
-        metrics = MoleculeMetrics()
+        from reed_tpu.eval.molecule_metrics import GraphMoleculeMetrics
+        metrics = GraphMoleculeMetrics()
         steps = run["integrator_steps"]
         for t0 in (0.0, 0.2, 0.4, 0.6, 0.8, 0.9, 0.95):
             icfg = dataclasses.replace(cfg.interpolant, fixed_time=t0)
@@ -133,8 +340,11 @@ def main(argv=None):
             coords = np.asarray(jax.device_get(final["coords"]))
             types = np.argmax(np.asarray(jax.device_get(final["atomics"])),
                               axis=-1)
+            orders = np.argmax(np.asarray(jax.device_get(final["bonds"])),
+                               axis=-1)
             sizes = raw["mask"].sum(-1).astype(int)
-            mols = [(coords[b, :sizes[b]], types[b, :sizes[b]])
+            mols = [(coords[b, :sizes[b]], types[b, :sizes[b]],
+                     orders[b, :sizes[b], :sizes[b]], None)
                     for b in range(args.n_gen)]
             m = metrics.evaluate(mols)
             tacc = ((types == raw["types"]) * raw["mask"]).sum() \

@@ -36,7 +36,9 @@ def main(argv=None):
     from reed_tpu.diffusion.molecule_fm import (IntegratorConfig,
                                                 MoleculeInterpolantConfig,
                                                 MoleculePriorConfig)
-    from reed_tpu.eval.molecule_metrics import MoleculeMetrics
+    from reed_tpu.eval.molecule_metrics import (SEMLA_IDX_CHARGES,
+                                                GraphMoleculeMetrics,
+                                                MoleculeMetrics)
     from reed_tpu.train.molecule_semla import SemlaTrainConfig, SemlaTrainer
 
     with open(args.pickle, "rb") as f:
@@ -55,9 +57,13 @@ def main(argv=None):
         rep_alignment=False,
         interpolant=MoleculeInterpolantConfig(
             prior=MoleculePriorConfig(vocab_size=TEMPLATE_NUM_TYPES,
-                                      n_bond_types=5)),
-        integrator=IntegratorConfig(steps=args.steps),
+                                      n_bond_types=5),
+            coord_noise_std=run.get("train_coord_noise", 0.0)),
+        integrator=IntegratorConfig(
+            steps=args.steps,
+            cat_noise_level=run.get("cat_noise_level", 0.0)),
         batch_size=run["batch_size"], compute_dtype=run["dtype"],
+        coord_skip=run.get("coord_skip", False),
         optim=OptimConfig(lr=run["lr"], grad_clip=1.0),
         curriculum=CurriculumConfig(proj_coeff=0.0, diffusion_warmup_steps=0,
                                     ema_decay=0.995),
@@ -73,11 +79,20 @@ def main(argv=None):
                              sampling_strategy=args.strategy)
     coords = np.asarray(jax.device_get(final["coords"]))
     types = np.argmax(np.asarray(jax.device_get(final["atomics"])), axis=-1)
+    orders = np.argmax(np.asarray(jax.device_get(final["bonds"])), axis=-1)
+    charges = np.asarray(SEMLA_IDX_CHARGES, np.int64)[
+        np.argmax(np.asarray(jax.device_get(final["charges"])), axis=-1)]
+    gmols = [(coords[b, :sizes[b]], types[b, :sizes[b]],
+              orders[b, :sizes[b], :sizes[b]], charges[b, :sizes[b]])
+             for b in range(args.n_eval)]
+    m = GraphMoleculeMetrics().evaluate(gmols)
+    print(f"strategy={args.strategy} steps={args.steps} which={args.which}: "
+          f"graph(semla protocol): {m}", flush=True)
     mols = [(coords[b, :sizes[b]], types[b, :sizes[b]])
             for b in range(args.n_eval)]
-    m = MoleculeMetrics().evaluate(mols)
-    print(f"strategy={args.strategy} steps={args.steps} which={args.which}: "
-          f"{m}", flush=True)
+    md = MoleculeMetrics().evaluate(mols)
+    print(f"  distance-inferred (EDM protocol, diagnostic): {md}",
+          flush=True)
 
 
 if __name__ == "__main__":
