@@ -1003,6 +1003,9 @@ def eval_semla(args):
     summary = {}
     for k in replicates[0]:
         vals = [r[k] for r in replicates]
+        if isinstance(vals[0], bool):  # e.g. 'rdkit' semantics marker
+            summary[k] = vals[0]
+            continue
         summary[k] = float(np.mean(vals))
         summary[f"{k}_std"] = float(np.std(vals))
     summary.update(n_replicates=args.n_replicates, n_samples=args.n_samples,

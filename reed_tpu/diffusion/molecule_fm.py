@@ -262,7 +262,11 @@ class IntegratorConfig:
 
 def _symmetrize_pair_noise(u):
     """Mirror the upper triangle of the two pair axes (1, 2) so a noise
-    tensor over (i, j) pairs makes identical decisions for ij and ji."""
+    tensor over (i, j) pairs makes identical decisions for ij and ji.
+    Only defined for bond-shaped [B, N, N, ...] tensors."""
+    assert u.ndim >= 3 and u.shape[1] == u.shape[2], (
+        f"symmetric=True requires a square [B, N, N, ...] pair tensor, "
+        f"got {u.shape}")
     n = u.shape[1]
     upper = jnp.triu(jnp.ones((n, n), dtype=bool), 1)
     shape = (1, n, n) + (1,) * (u.ndim - 3)

@@ -251,6 +251,8 @@ class MoleculeMetrics:
             "uniqueness": len(unique) / max(1, n_valid),
             "relaxed_validity": compute_relaxed_validity(
                 molecules, self.atom_decoder, self.dataset),
+            # self-describing: which validity semantics produced the numbers
+            "rdkit": HAVE_RDKIT,
         }
         metrics["pb_valid"] = posebusters_checks(
             molecules, self.atom_decoder, self.dataset)["pb_valid"]
@@ -306,9 +308,14 @@ def _is_valid_valence(valence: float, allowed, charge: int) -> bool:
 def graph_valences(orders: np.ndarray) -> np.ndarray:
     """Integer valences from a predicted bond-order matrix: aromatic (4)
     counts 1.5, then truncate (reference: fm.py:287-290
-    `adj[adj == 4] = 1.5; adj.sum(-1).long()`)."""
+    `adj[adj == 4] = 1.5; adj.sum(-1).long()`). Self-bonds (the diagonal)
+    are excluded, matching the reference's lower-triangle bond extraction
+    (util/functional bonds_from_adj, lower_tri=True) and
+    _mol_from_graph_charged, which only adds i<j bonds."""
     o = np.asarray(orders, np.float64).copy()
     o[np.asarray(orders) == 4] = 1.5
+    n = o.shape[-1]
+    o[..., np.arange(n), np.arange(n)] = 0.0
     return o.sum(-1).astype(np.int64)
 
 
@@ -426,6 +433,9 @@ class GraphMoleculeMetrics:
             "validity": n_valid / max(1, n_mols),
             "fc_validity": fc_valid / max(1, n_mols),
             "uniqueness": len(unique) / max(1, n_valid),
+            # self-describing: True = RDKit sanitize/canonical-SMILES
+            # semantics, False = valence-stability / graph-hash fallback
+            "rdkit": HAVE_RDKIT,
         }
         coords_mols = [(p, t) for p, t, _, _ in molecules]
         metrics["pb_valid"] = posebusters_checks(

@@ -57,6 +57,35 @@ def test_eval_protein_real_validation_set(tmp_path, capsys):
     assert len(out["sample_0"]) > 0
 
 
+def test_eval_semla_replicate_table(capsys):
+    """eval-semla emits the reference's replicate protocol (mean +/- std
+    over N replicates, molecule/semlaflow/evaluate.py:22-29) with the
+    GRAPH-protocol metric fields (stability/validity/fc_validity/
+    uniqueness scored on the predicted bond tensors, fm.py:249-306) and a
+    self-describing 'rdkit' marker for which validity semantics ran."""
+    from reed_tpu.cli import main
+
+    main(["eval-semla", "--n-samples", "4", "--n-replicates", "2",
+          "--num-steps", "2", "--n-atoms-min", "3", "--n-atoms-max", "6",
+          "--atom-decoder", "H,C,N,O,F,S",
+          "--set", "d_model=32", "--set", "d_message=16",
+          "--set", "n_layers=1", "--set", "n_coord_sets=4",
+          "--set", "n_attn_heads=4", "--set", "d_message_hidden=16",
+          "--set", "d_edge=8", "--set", "vocab_size=6",
+          "--set", "size_emb=8", "--set", "max_atoms=10",
+          "--set", "d_rep=null",
+          "--set", "interpolant.prior.vocab_size=6",
+          "--dp", "1", "--fsdp", "1", "--tp", "1"])
+    text = capsys.readouterr().out
+    out = json.loads(text[text.index("{"):])
+    for k in ("mol_stable", "atom_stable", "validity", "fc_validity",
+              "uniqueness"):
+        assert 0.0 <= out[k] <= 1.0, k
+        assert out[f"{k}_std"] >= 0.0, k
+    assert isinstance(out["rdkit"], bool)
+    assert out["n_replicates"] == 2 and out["n_samples"] == 4
+
+
 @pytest.mark.slow
 def test_eval_molecule_reps_from_disk(tmp_path, capsys):
     """eval-molecule --data-dir feeds GtSampler with dataset reps
