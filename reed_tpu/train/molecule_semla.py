@@ -351,9 +351,21 @@ class SemlaTrainer:
                            out_shardings=self.state_shardings)(self.init_rng)
 
     def generate(self, params, rng, prior: Dict, rep=None,
-                 sampling_strategy: str = "linear"):
+                 sampling_strategy: str = "linear",
+                 final_protocol: str = "last", zero_cond: bool = False):
         """Integrate the ODE from prior to data (reference: fm.py:974-1040).
-        prior: dict of jnp arrays (coords/atomics/bonds/mask)."""
+        prior: dict of jnp arrays (coords/atomics/bonds/mask).
+
+        final_protocol:
+          "last" (default, reference-exact): the returned molecule is the
+              prediction made during the LAST integrator iteration — the
+              model is never evaluated on the fully-jumped t=1.0 state
+              (fm.py:1017-1046 returns `predicted` from the loop body).
+          "extra": one additional model call on the post-loop state (t=1.0)
+              with times clamped to the last grid point.
+        zero_cond: keep the self-conditioning input at zeros through the
+          whole trajectory (diagnostic; reference always feeds the previous
+          prediction when self_condition=True)."""
         cfg = self.cfg
         steps = cfg.integrator.steps
         if sampling_strategy == "linear":
@@ -370,7 +382,9 @@ class SemlaTrainer:
                 "bonds": jnp.zeros_like(prior["bonds"])}
         return self._generate_run(params, rng, prior, rep, cond, times_arr,
                                   sizes_arr, steps=steps,
-                                  t_final=float(time_points[-2]))
+                                  t_final=float(time_points[-2]),
+                                  final_protocol=final_protocol,
+                                  zero_cond=zero_cond)
 
     @functools.cached_property
     def _generate_run(self):
@@ -381,9 +395,10 @@ class SemlaTrainer:
         module as a constant)."""
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=("steps", "t_final"))
+        @functools.partial(jax.jit, static_argnames=(
+            "steps", "t_final", "final_protocol", "zero_cond"))
         def run(params, rng, prior, rep, cond, times_arr, sizes_arr,
-                steps, t_final):
+                steps, t_final, final_protocol="last", zero_cond=False):
             b = prior["coords"].shape[0]
 
             def predict(curr, t_vec, cond_batch):
@@ -403,20 +418,30 @@ class SemlaTrainer:
                         "charges": jax.nn.softmax(cl, axis=-1)}
 
             def body(carry, i):
-                curr, cond_batch = carry
+                curr, cond_batch, _ = carry
                 t_vec = jnp.full((b,), times_arr[i])
                 predicted = predict(curr, t_vec, cond_batch)
                 new = integrator_step(jax.random.fold_in(rng, i),
                                       cfg.integrator, curr, predicted, prior,
                                       t_vec, sizes_arr[i])
-                new_cond = {"coords": predicted["coords"],
-                            "atomics": predicted["atomics"],
-                            "bonds": predicted["bonds"]}
-                return (new, new_cond), None
+                new_cond = cond_batch if zero_cond else {
+                    "coords": predicted["coords"],
+                    "atomics": predicted["atomics"],
+                    "bonds": predicted["bonds"]}
+                return (new, new_cond, predicted), None
 
-            (curr, cond2), _ = jax.lax.scan(body, (dict(prior), cond),
-                                            jnp.arange(steps))
-            final = predict(curr, jnp.full((b,), t_final), cond2)
+            # zero-init carry slot for the last prediction; dtypes must match
+            # the model's outputs exactly (bf16 configs emit bf16 logits)
+            pred0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(predict, dict(prior),
+                               jnp.zeros((b,), jnp.float32), cond))
+            (curr, cond2, last_pred), _ = jax.lax.scan(
+                body, (dict(prior), cond, pred0), jnp.arange(steps))
+            if final_protocol == "last":
+                final = dict(last_pred)
+            else:
+                final = predict(curr, jnp.full((b,), t_final), cond2)
             final["mask"] = prior["mask"]
             return final
 

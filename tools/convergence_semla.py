@@ -69,7 +69,13 @@ def main(argv=None):
     ap.add_argument("--batch-pool", type=int, default=0,
                     help="pre-generate N host batches and cycle them (the "
                          "per-step numpy batch gen + per-sample Kabsch OT "
-                         "otherwise dominates small-N steps)")
+                         "otherwise dominates small-N steps). NOTE a fixed "
+                         "pool freezes the interpolation noise/time draws — "
+                         "the model memorizes them instead of learning "
+                         "robustness (use --pool-refresh)")
+    ap.add_argument("--pool-refresh", type=int, default=0,
+                    help="regenerate the batch pool every N steps so the "
+                         "interpolation noise stays fresh (0 = never)")
     ap.add_argument("--dtype", default="float32",
                     help="compute dtype (bfloat16 validates the "
                          "mixed-precision path: f32 coords, bf16 features)")
@@ -78,6 +84,18 @@ def main(argv=None):
                          "absolute head's late-t coordinate floor (~0.06 A "
                          "rms) exceeds the bond-window tolerance (~0.03 A) "
                          "on the rigid chains family")
+    ap.add_argument("--coord-std", type=float, default=-1.0,
+                    help="coordinate normalization divisor (reference "
+                         "scriptutil.py:68-76 scales every molecule by "
+                         "1/dataset_std so data matches the unit-Gaussian "
+                         "prior; fm.py:1046 rescales generated coords). "
+                         "-1 = compute from the family; 1.0 disables "
+                         "(the pre-round-5 behavior)")
+    ap.add_argument("--no-self-cond", action="store_true",
+                    help="train WITHOUT self-conditioning — the reference "
+                         "recipe's setting (molecule/README.md:38 does not "
+                         "pass --self_condition; train.py:503 defaults it "
+                         "False)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args(argv)
@@ -122,6 +140,13 @@ def main(argv=None):
     else:
         family = list(MOLECULE_TEMPLATES)
         max_n = TEMPLATE_MAX_ATOMS
+    coord_std = args.coord_std
+    if coord_std <= 0:
+        coord_std = float(np.sqrt(np.mean(np.concatenate(
+            [t["coords"] for t in family], axis=0) ** 2)))
+    args.coord_std = coord_std  # resolved value lands in the params pickle
+    print(f"coord_std: {coord_std:.4f} (training in scaled space; "
+          f"metrics on coords * coord_std)", flush=True)
     n_bond_types = 5
     n_charge_types = 7
     cfg = SemlaTrainConfig(
@@ -148,6 +173,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         compute_dtype=args.dtype,
         coord_skip=args.coord_skip,
+        self_cond=not args.no_self_cond,
         optim=OptimConfig(lr=args.lr, grad_clip=1.0,
                           schedule=args.schedule, warmup_steps=args.warmup,
                           total_steps=args.steps),
@@ -162,6 +188,7 @@ def main(argv=None):
     def host_batch(r: np.random.Generator):
         raw = template_molecule_batch(r, args.batch_size, max_n,
                                       templates=family)
+        raw["coords"] = raw["coords"] / coord_std
         mask = raw["mask"]
         atomics = np.eye(TEMPLATE_NUM_TYPES, dtype=np.float32)[
             raw["types"]] * mask[..., None]
@@ -193,7 +220,7 @@ def main(argv=None):
         mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
         prior = trainer.sample_prior(r, mask)
         final = trainer.generate(params, jax.random.PRNGKey(seed), prior)
-        coords = jax.device_get(final["coords"])
+        coords = jax.device_get(final["coords"]) * coord_std
         types = np.argmax(jax.device_get(final["atomics"]), axis=-1)
         orders = np.argmax(jax.device_get(final["bonds"]), axis=-1)
         charges = charge_map[np.argmax(jax.device_get(final["charges"]),
@@ -219,6 +246,10 @@ def main(argv=None):
     losses = []
     t0 = time.time()
     for step in range(args.steps):
+        if (pool and args.pool_refresh and step
+                and step % args.pool_refresh == 0):
+            pool = [host_batch(np.random.default_rng(step * 131_071 + i))
+                    for i in range(args.batch_pool)]
         batch = (pool[step % args.batch_pool] if pool
                  else host_batch(np.random.default_rng(step)))
         state, metrics = trainer.train_step(state, batch, rng)
@@ -261,6 +292,8 @@ def main(argv=None):
                    "dtype": args.dtype, "coord_skip": args.coord_skip,
                    "train_coord_noise": args.train_coord_noise,
                    "cat_noise_level": args.cat_noise_level,
+                   "self_cond": not args.no_self_cond,
+                   "coord_std": coord_std,
                    "family": args.family,
                    "n_classes": len(family),
                    "n_eval": args.n_eval},

@@ -102,6 +102,16 @@ def main(argv=None):
         feasible.setdefault(n, set()).add(
             tuple(sorted(Counter(t["types"].tolist()).items())))
 
+    # runs after the coord_std fix train in scaled space (reference
+    # scriptutil.py:68-76); probes must interpolate scaled data and
+    # unscale before any Angstrom-space audit
+    coord_std = run.get("coord_std", 1.0)
+    if coord_std <= 0:
+        coord_std = 1.0
+    if coord_std != 1.0:
+        print(f"coord_std {coord_std:.4f} (model space = A / coord_std)",
+              flush=True)
+
     def build_data(raw):
         m = raw["mask"]
         atomics = np.eye(TEMPLATE_NUM_TYPES, dtype=np.float32)[
@@ -110,8 +120,8 @@ def main(argv=None):
             np.minimum(raw["bond_orders"], n_bond_types - 1)]
         charges = np.zeros(m.shape + (n_charge_types,), np.float32)
         charges[..., 0] = m
-        return {"coords": raw["coords"], "atomics": atomics, "bonds": bonds,
-                "charges": charges, "mask": m}
+        return {"coords": raw["coords"] / coord_std, "atomics": atomics,
+                "bonds": bonds, "charges": charges, "mask": m}
 
     if args.trace_traj:
         # Per-step trace of the integration from a teacher-forced t0=0.95
@@ -201,8 +211,10 @@ def main(argv=None):
             print(f"--- mode={mode} (t0={t0}, {steps} steps) ---",
                   flush=True)
             for i in (0, 20, 40, 60, 80, 90, 95, 99):
-                print(f"  step {i:3d} t={tp[i]:.4f}: pred_rms={pe[i]:.4f} "
-                      f"curr_rms={ce[i]:.4f} pred_acc={pa[i]:.4f} "
+                print(f"  step {i:3d} t={tp[i]:.4f}: "
+                      f"pred_rms={pe[i] * coord_std:.4f} "
+                      f"curr_rms={ce[i] * coord_std:.4f} "
+                      f"pred_acc={pa[i]:.4f} "
                       f"curr_acc={ca[i]:.4f}", flush=True)
         return
 
@@ -223,7 +235,7 @@ def main(argv=None):
         mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
         prior = trainer.sample_prior(r, mask)
         final = trainer.generate(params, jax.random.PRNGKey(7), prior)
-        coords = np.asarray(jax.device_get(final["coords"]))
+        coords = np.asarray(jax.device_get(final["coords"])) * coord_std
         types = np.argmax(np.asarray(jax.device_get(final["atomics"])), -1)
         orders = np.argmax(np.asarray(jax.device_get(final["bonds"])), -1)
 
@@ -302,8 +314,19 @@ def main(argv=None):
             # bonds are ~93% 'none': also report accuracy on TRUE bonds only
             isb = (src_bonds > 0) * pm
             bacc_pos = ((pbonds == src_bonds) * isb).sum() / isb.sum()
+            # coherence of the JOINT prediction: score the predicted graph
+            # itself (argmax type/bond marginals need not form a consistent
+            # molecule even when per-element accuracy is high)
+            from reed_tpu.eval.molecule_metrics import GraphMoleculeMetrics
+            szs = m2.sum(-1).astype(int)
+            gm = GraphMoleculeMetrics().evaluate(
+                [(raw["coords"][b, :szs[b]], ptypes[b, :szs[b]],
+                  pbonds[b, :szs[b], :szs[b]], None)
+                 for b in range(args.n_gen)])
             print(f"t={t0}: type_acc={tacc:.4f} bond_acc={bacc:.4f} "
-                  f"bond_acc(true bonds)={bacc_pos:.4f}", flush=True)
+                  f"bond_acc(true bonds)={bacc_pos:.4f} | pred-graph "
+                  f"validity={gm['validity']:.3f} "
+                  f"atom_stable={gm['atom_stable']:.3f}", flush=True)
         return
 
     if args.from_t:
@@ -337,7 +360,7 @@ def main(argv=None):
                 jnp.asarray(tp[:-1], jnp.float32),
                 jnp.asarray(np.diff(tp), jnp.float32),
                 steps=steps, t_final=float(tp[-2]))
-            coords = np.asarray(jax.device_get(final["coords"]))
+            coords = np.asarray(jax.device_get(final["coords"])) * coord_std
             types = np.argmax(np.asarray(jax.device_get(final["atomics"])),
                               axis=-1)
             orders = np.argmax(np.asarray(jax.device_get(final["bonds"])),
@@ -349,7 +372,7 @@ def main(argv=None):
             m = metrics.evaluate(mols)
             tacc = ((types == raw["types"]) * raw["mask"]).sum() \
                 / raw["mask"].sum()
-            err = ((coords - data["coords"]) ** 2
+            err = ((coords - raw["coords"]) ** 2
                    * raw["mask"][..., None]).sum() / (raw["mask"].sum() * 3)
             print(f"from t0={t0}: atom_stable={m['atom_stable']:.3f} "
                   f"mol_stable={m['mol_stable']:.3f} "
@@ -364,7 +387,7 @@ def main(argv=None):
     mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
     prior = trainer.sample_prior(r, mask)
     final = trainer.generate(params, jax.random.PRNGKey(7), prior)
-    coords = np.asarray(jax.device_get(final["coords"]))
+    coords = np.asarray(jax.device_get(final["coords"])) * coord_std
     types = np.argmax(np.asarray(jax.device_get(final["atomics"])), axis=-1)
 
     n_feas = 0
@@ -422,8 +445,8 @@ def main(argv=None):
             np.minimum(raw["bond_orders"], n_bond_types - 1)]
         charges = np.zeros((128, max_n, n_charge_types), np.float32)
         charges[..., 0] = m
-        data = {"coords": raw["coords"], "atomics": atomics, "bonds": bonds,
-                "charges": charges, "mask": m}
+        data = {"coords": raw["coords"] / coord_std, "atomics": atomics,
+                "bonds": bonds, "charges": charges, "mask": m}
         pr, interp, times = interpolate_batch(np.random.default_rng(5), icfg,
                                               data)
         out = probe_apply(params, jnp.asarray(interp["coords"]),
@@ -431,9 +454,9 @@ def main(argv=None):
                           jnp.asarray(interp["bonds"]),
                           jnp.asarray(interp["mask"]),
                           jnp.asarray(times))
-        pred = np.asarray(jax.device_get(out[0]))
+        pred = np.asarray(jax.device_get(out[0])) * coord_std
         ptypes = np.asarray(jax.device_get(out[1]))
-        err = ((pred - data["coords"]) ** 2 * m[..., None]).sum() \
+        err = ((pred - raw["coords"]) ** 2 * m[..., None]).sum() \
             / (m.sum() * 3)
         tacc = ((np.argmax(ptypes, -1) == raw["types"]) * m).sum() / m.sum()
         print(f"t={tb}: coord MSE/atom-dim {err:.5f} "

@@ -22,6 +22,14 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--n-eval", type=int, default=256)
     ap.add_argument("--which", default="ema", choices=("ema", "params"))
+    ap.add_argument("--cat-noise", type=float, default=None,
+                    help="override sampling-time categorical churn "
+                         "(default: the run's training-time value)")
+    ap.add_argument("--final", default="last", choices=("last", "extra"),
+                    help="final-prediction protocol (see "
+                         "SemlaTrainer.generate)")
+    ap.add_argument("--zero-cond", action="store_true",
+                    help="zero the self-conditioning input through sampling")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -61,9 +69,11 @@ def main(argv=None):
             coord_noise_std=run.get("train_coord_noise", 0.0)),
         integrator=IntegratorConfig(
             steps=args.steps,
-            cat_noise_level=run.get("cat_noise_level", 0.0)),
+            cat_noise_level=(run.get("cat_noise_level", 0.0)
+                             if args.cat_noise is None else args.cat_noise)),
         batch_size=run["batch_size"], compute_dtype=run["dtype"],
         coord_skip=run.get("coord_skip", False),
+        self_cond=not run.get("no_self_cond", False),
         optim=OptimConfig(lr=run["lr"], grad_clip=1.0),
         curriculum=CurriculumConfig(proj_coeff=0.0, diffusion_warmup_steps=0,
                                     ema_decay=0.995),
@@ -76,8 +86,13 @@ def main(argv=None):
     mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
     prior = trainer.sample_prior(r, mask)
     final = trainer.generate(params, jax.random.PRNGKey(1), prior,
-                             sampling_strategy=args.strategy)
-    coords = np.asarray(jax.device_get(final["coords"]))
+                             sampling_strategy=args.strategy,
+                             final_protocol=args.final,
+                             zero_cond=args.zero_cond)
+    coord_std = run.get("coord_std", 1.0)
+    if coord_std <= 0:  # unresolved -1 from older pickles
+        coord_std = 1.0
+    coords = np.asarray(jax.device_get(final["coords"])) * coord_std
     types = np.argmax(np.asarray(jax.device_get(final["atomics"])), axis=-1)
     orders = np.argmax(np.asarray(jax.device_get(final["bonds"])), axis=-1)
     charges = np.asarray(SEMLA_IDX_CHARGES, np.int64)[
@@ -86,8 +101,10 @@ def main(argv=None):
               orders[b, :sizes[b], :sizes[b]], charges[b, :sizes[b]])
              for b in range(args.n_eval)]
     m = GraphMoleculeMetrics().evaluate(gmols)
-    print(f"strategy={args.strategy} steps={args.steps} which={args.which}: "
-          f"graph(semla protocol): {m}", flush=True)
+    print(f"strategy={args.strategy} steps={args.steps} which={args.which} "
+          f"cat_noise={args.cat_noise} final={args.final} "
+          f"zero_cond={args.zero_cond}: graph(semla protocol): {m}",
+          flush=True)
     mols = [(coords[b, :sizes[b]], types[b, :sizes[b]])
             for b in range(args.n_eval)]
     md = MoleculeMetrics().evaluate(mols)
