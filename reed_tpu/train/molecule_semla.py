@@ -352,7 +352,8 @@ class SemlaTrainer:
 
     def generate(self, params, rng, prior: Dict, rep=None,
                  sampling_strategy: str = "linear",
-                 final_protocol: str = "last", zero_cond: bool = False):
+                 final_protocol: str = "last", zero_cond: bool = False,
+                 pred_temp: float = 1.0):
         """Integrate the ODE from prior to data (reference: fm.py:974-1040).
         prior: dict of jnp arrays (coords/atomics/bonds/mask).
 
@@ -365,7 +366,14 @@ class SemlaTrainer:
               with times clamped to the last grid point.
         zero_cond: keep the self-conditioning input at zeros through the
           whole trajectory (diagnostic; reference always feeds the previous
-          prediction when self_condition=True)."""
+          prediction when self_condition=True).
+        pred_temp: temperature on the predicted type/bond distributions the
+          INTEGRATOR consumes (softmax(logits/T); the returned molecule and
+          the self-conditioning input keep T=1). T<1 commits trajectory
+          categoricals toward the coherent argmax instead of sampling the
+          marginals' error mass — an extension, not a reference knob
+          (diversity on a rigid family comes from the coordinate prior,
+          uniqueness is unaffected)."""
         cfg = self.cfg
         steps = cfg.integrator.steps
         if sampling_strategy == "linear":
@@ -384,7 +392,8 @@ class SemlaTrainer:
                                   sizes_arr, steps=steps,
                                   t_final=float(time_points[-2]),
                                   final_protocol=final_protocol,
-                                  zero_cond=zero_cond)
+                                  zero_cond=zero_cond,
+                                  pred_temp=float(pred_temp))
 
     @functools.cached_property
     def _generate_run(self):
@@ -396,9 +405,10 @@ class SemlaTrainer:
         cfg = self.cfg
 
         @functools.partial(jax.jit, static_argnames=(
-            "steps", "t_final", "final_protocol", "zero_cond"))
+            "steps", "t_final", "final_protocol", "zero_cond", "pred_temp"))
         def run(params, rng, prior, rep, cond, times_arr, sizes_arr,
-                steps, t_final, final_protocol="last", zero_cond=False):
+                steps, t_final, final_protocol="last", zero_cond=False,
+                pred_temp=1.0):
             b = prior["coords"].shape[0]
 
             def predict(curr, t_vec, cond_batch):
@@ -421,8 +431,15 @@ class SemlaTrainer:
                 curr, cond_batch, _ = carry
                 t_vec = jnp.full((b,), times_arr[i])
                 predicted = predict(curr, t_vec, cond_batch)
+                step_pred = predicted
+                if pred_temp != 1.0:
+                    inv_t = 1.0 / pred_temp
+                    step_pred = dict(predicted)
+                    for k in ("atomics", "bonds"):
+                        p = predicted[k] ** inv_t
+                        step_pred[k] = p / (p.sum(-1, keepdims=True) + 1e-12)
                 new = integrator_step(jax.random.fold_in(rng, i),
-                                      cfg.integrator, curr, predicted, prior,
+                                      cfg.integrator, curr, step_pred, prior,
                                       t_vec, sizes_arr[i])
                 new_cond = cond_batch if zero_cond else {
                     "coords": predicted["coords"],

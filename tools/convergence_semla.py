@@ -84,6 +84,17 @@ def main(argv=None):
                          "absolute head's late-t coordinate floor (~0.06 A "
                          "rms) exceeds the bond-window tolerance (~0.03 A) "
                          "on the rigid chains family")
+    ap.add_argument("--categorical-strategy", default="uniform-sample",
+                    choices=("uniform-sample", "mask"),
+                    help="reference train.py --categorical_strategy: "
+                         "'mask' (DFM masking, arXiv:2402.04997) keeps "
+                         "every mid-trajectory categorical state a PARTIAL "
+                         "TRUE graph (true-or-MASK, never wrong-class "
+                         "noise) — on a sparse rigid family the "
+                         "uniform-sample trajectory passes through "
+                         "incoherent states the model never trained on "
+                         "(teacher-forced pred-graph validity 0.48 at "
+                         "t=0.8 vs 0.95 at t=0.99, round-5 audit)")
     ap.add_argument("--coord-std", type=float, default=-1.0,
                     help="coordinate normalization divisor (reference "
                          "scriptutil.py:68-76 scales every molecule by "
@@ -147,10 +158,16 @@ def main(argv=None):
     args.coord_std = coord_std  # resolved value lands in the params pickle
     print(f"coord_std: {coord_std:.4f} (training in scaled space; "
           f"metrics on coords * coord_std)", flush=True)
-    n_bond_types = 5
+    # mask strategy appends a mask token to both vocabularies (reference
+    # scriptutil.get_n_bond_types / the vocab's mask token)
+    masking = args.categorical_strategy == "mask"
+    vocab_size = TEMPLATE_NUM_TYPES + (1 if masking else 0)
+    n_bond_types = 5 + (1 if masking else 0)
+    type_mask_index = TEMPLATE_NUM_TYPES if masking else None
+    bond_mask_index = 5 if masking else None
     n_charge_types = 7
     cfg = SemlaTrainConfig(
-        vocab_size=TEMPLATE_NUM_TYPES,
+        vocab_size=vocab_size,
         n_bond_types=n_bond_types,
         n_charge_types=n_charge_types,
         max_atoms=max_n,
@@ -164,12 +181,23 @@ def main(argv=None):
         size_emb=16,
         d_rep=None,
         rep_alignment=False,
+        type_strategy="mask" if masking else "ce",
+        bond_strategy="mask" if masking else "ce",
         interpolant=MoleculeInterpolantConfig(
-            prior=MoleculePriorConfig(vocab_size=TEMPLATE_NUM_TYPES,
-                                      n_bond_types=n_bond_types),
+            prior=MoleculePriorConfig(
+                vocab_size=vocab_size, n_bond_types=n_bond_types,
+                type_noise=args.categorical_strategy,
+                bond_noise=args.categorical_strategy,
+                type_mask_index=type_mask_index,
+                bond_mask_index=bond_mask_index),
             coord_noise_std=args.train_coord_noise),
-        integrator=IntegratorConfig(steps=args.integrator_steps,
-                                    cat_noise_level=args.cat_noise_level),
+        integrator=IntegratorConfig(
+            steps=args.integrator_steps,
+            cat_noise_level=args.cat_noise_level,
+            type_strategy=args.categorical_strategy,
+            bond_strategy=args.categorical_strategy,
+            type_mask_index=type_mask_index,
+            bond_mask_index=bond_mask_index),
         batch_size=args.batch_size,
         compute_dtype=args.dtype,
         coord_skip=args.coord_skip,
@@ -190,10 +218,12 @@ def main(argv=None):
                                       templates=family)
         raw["coords"] = raw["coords"] / coord_std
         mask = raw["mask"]
-        atomics = np.eye(TEMPLATE_NUM_TYPES, dtype=np.float32)[
+        # data one-hots live in the (possibly mask-extended) vocab; the mask
+        # class itself never appears in data — real bond orders stay 0-4
+        atomics = np.eye(vocab_size, dtype=np.float32)[
             raw["types"]] * mask[..., None]
         bonds = np.eye(n_bond_types, dtype=np.float32)[
-            np.minimum(raw["bond_orders"], n_bond_types - 1)]
+            np.minimum(raw["bond_orders"], 4)]
         charges = np.zeros((args.batch_size, max_n, n_charge_types),
                            np.float32)
         charges[..., 0] = mask
@@ -221,8 +251,13 @@ def main(argv=None):
         prior = trainer.sample_prior(r, mask)
         final = trainer.generate(params, jax.random.PRNGKey(seed), prior)
         coords = jax.device_get(final["coords"]) * coord_std
-        types = np.argmax(jax.device_get(final["atomics"]), axis=-1)
-        orders = np.argmax(jax.device_get(final["bonds"]), axis=-1)
+        # x1 never contains the mask token; argmax over the real classes
+        # (the trained model leaves ~0 mass on mask at t~1, this only
+        # guards the decoder index range)
+        atom_logits = jax.device_get(final["atomics"])[..., :TEMPLATE_NUM_TYPES]
+        bond_logits = jax.device_get(final["bonds"])[..., :5]
+        types = np.argmax(atom_logits, axis=-1)
+        orders = np.argmax(bond_logits, axis=-1)
         charges = charge_map[np.argmax(jax.device_get(final["charges"]),
                                        axis=-1)]
         mols = [(coords[b, :sizes[b]], types[b, :sizes[b]],
@@ -294,6 +329,7 @@ def main(argv=None):
                    "cat_noise_level": args.cat_noise_level,
                    "self_cond": not args.no_self_cond,
                    "coord_std": coord_std,
+                   "categorical_strategy": args.categorical_strategy,
                    "family": args.family,
                    "n_classes": len(family),
                    "n_eval": args.n_eval},

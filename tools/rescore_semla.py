@@ -25,6 +25,19 @@ def main(argv=None):
     ap.add_argument("--cat-noise", type=float, default=None,
                     help="override sampling-time categorical churn "
                          "(default: the run's training-time value)")
+    ap.add_argument("--pred-temp", type=float, default=1.0,
+                    help="temperature on the predicted categorical dists "
+                         "the integrator consumes (<1 commits the "
+                         "trajectory toward coherent argmaxes; extension, "
+                         "see SemlaTrainer.generate)")
+    ap.add_argument("--coord-noise", type=float, default=0.0,
+                    help="sampling-time coordinate noise std in MODEL "
+                         "space (the reference Integrator's own "
+                         "coord_noise_std, fm.py:29/67 — default 0 there "
+                         "too). The model is trained to denoise "
+                         "train_coord_noise-scale jitter, so noising the "
+                         "trajectory keeps its states inside the trained "
+                         "basin")
     ap.add_argument("--final", default="last", choices=("last", "extra"),
                     help="final-prediction protocol (see "
                          "SemlaTrainer.generate)")
@@ -69,6 +82,7 @@ def main(argv=None):
             coord_noise_std=run.get("train_coord_noise", 0.0)),
         integrator=IntegratorConfig(
             steps=args.steps,
+            coord_noise_std=args.coord_noise,
             cat_noise_level=(run.get("cat_noise_level", 0.0)
                              if args.cat_noise is None else args.cat_noise)),
         batch_size=run["batch_size"], compute_dtype=run["dtype"],
@@ -88,7 +102,8 @@ def main(argv=None):
     final = trainer.generate(params, jax.random.PRNGKey(1), prior,
                              sampling_strategy=args.strategy,
                              final_protocol=args.final,
-                             zero_cond=args.zero_cond)
+                             zero_cond=args.zero_cond,
+                             pred_temp=args.pred_temp)
     coord_std = run.get("coord_std", 1.0)
     if coord_std <= 0:  # unresolved -1 from older pickles
         coord_std = 1.0
@@ -102,7 +117,8 @@ def main(argv=None):
              for b in range(args.n_eval)]
     m = GraphMoleculeMetrics().evaluate(gmols)
     print(f"strategy={args.strategy} steps={args.steps} which={args.which} "
-          f"cat_noise={args.cat_noise} final={args.final} "
+          f"cat_noise={args.cat_noise} coord_noise={args.coord_noise} "
+          f"pred_temp={args.pred_temp} final={args.final} "
           f"zero_cond={args.zero_cond}: graph(semla protocol): {m}",
           flush=True)
     mols = [(coords[b, :sizes[b]], types[b, :sizes[b]])
