@@ -24,12 +24,26 @@ def test_protein_recovery_improves():
 
 
 def test_semla_stability_improves():
+    """Multi-metric direction gate on the chains family under the graph
+    protocol (VERDICT r4 task 8): a recipe regression that hurts generated-
+    molecule quality must fail this test, not land silently. Calibrated
+    2026-08-20 on the honest reference recipe (coord_noise 0.2, churn 1,
+    coord_std scaling): tiny/150 steps reaches atom_stable ~0.23 params /
+    ~0.16 ema from 0.0; mol_stable stays ~0 at this scale (full runs are
+    the validity evidence, CONVERGENCE_SEMLA.json)."""
     from tools.convergence_semla import main
 
     res = main(["--tiny", "--cpu", "--steps", "150", "--n-eval", "48",
                 "--out", "/tmp/conv_semla_test.json"])
     assert res["final"]["atom_stable"] > res["step0"]["atom_stable"] + 0.1
-    assert res["final"]["mol_stable"] > 0.05
+    assert res["final_ema"]["atom_stable"] > \
+        res["step0"]["atom_stable"] + 0.05
+    # direction-only on the remaining graph metrics: never worse than
+    # the untrained model on any of them
+    for k in ("mol_stable", "validity", "fc_validity", "uniqueness"):
+        assert res["final"][k] >= res["step0"][k], k
+    assert res["config"]["family"] == "chains"
+    assert res["config"]["coord_std"] > 1.0  # normalized-space training
 
 
 def test_image_class_fidelity_improves():
