@@ -84,6 +84,24 @@ def main(argv=None):
                          "absolute head's late-t coordinate floor (~0.06 A "
                          "rms) exceeds the bond-window tolerance (~0.03 A) "
                          "on the rigid chains family")
+    ap.add_argument("--rep-condition", action="store_true",
+                    help="REED two-stage path: condition the CFM on a "
+                         "per-class representation (the reference trains "
+                         "semla with --rep_condition on frozen-encoder "
+                         "reps and samples reps at generation, "
+                         "fm.py:1006-1014; here the rep sampler is the "
+                         "exact empirical class-embedding distribution, "
+                         "isolating the GENERATOR for acceptance — the "
+                         "RDM has its own gate, convergence_rdm.py). "
+                         "Mechanism: the rep resolves WHICH molecule to "
+                         "build from t=0; the unconditional flow's mid-t "
+                         "posterior over templates is genuinely mixed and "
+                         "per-atom commitment errors compound with size "
+                         "(validity 1.00/0.44/0.18/0.09 for 4-7/8-11/"
+                         "12-15/16-19 atoms, round-5 audit)")
+    ap.add_argument("--d-rep", type=int, default=64)
+    ap.add_argument("--cond-type", default="adaLN",
+                    choices=("adaLN", "cross_attn"))
     ap.add_argument("--categorical-strategy", default="uniform-sample",
                     choices=("uniform-sample", "mask"),
                     help="reference train.py --categorical_strategy: "
@@ -166,6 +184,12 @@ def main(argv=None):
     type_mask_index = TEMPLATE_NUM_TYPES if masking else None
     bond_mask_index = 5 if masking else None
     n_charge_types = 7
+    # deterministic per-class embedding table = the exact rep distribution
+    class_embs = (np.random.default_rng(4242)
+                  .standard_normal((len(family), args.d_rep))
+                  .astype(np.float32) / np.sqrt(args.d_rep)
+                  if args.rep_condition else None)
+
     cfg = SemlaTrainConfig(
         vocab_size=vocab_size,
         n_bond_types=n_bond_types,
@@ -179,7 +203,8 @@ def main(argv=None):
         d_edge=64,
         n_attn_heads=8,
         size_emb=16,
-        d_rep=None,
+        d_rep=args.d_rep if args.rep_condition else None,
+        cond_type=args.cond_type if args.rep_condition else "none",
         rep_alignment=False,
         type_strategy="mask" if masking else "ce",
         bond_strategy="mask" if masking else "ce",
@@ -231,9 +256,11 @@ def main(argv=None):
                 "charges": charges, "mask": mask}
         prior, interpolated, times = interpolate_batch(r, cfg.interpolant,
                                                        data)
-        return jax.tree.map(jnp.asarray, {
-            "data": data, "prior": prior, "interpolated": interpolated,
-            "times": times})
+        out = {"data": data, "prior": prior, "interpolated": interpolated,
+               "times": times}
+        if class_embs is not None:
+            out["rep"] = class_embs[raw["template_idx"]]
+        return jax.tree.map(jnp.asarray, out)
 
     # SemlaFlow co-generates bond categories: score the PREDICTED graph
     # (stability from the predicted adjacency, validity/uniqueness over the
@@ -244,12 +271,17 @@ def main(argv=None):
 
     def score(params, seed: int):
         r = np.random.default_rng(30_000 + seed)
-        sizes = np.array([len(family[i]["types"])
-                          for i in r.integers(0, len(family),
-                                              size=args.n_eval)])
+        cls = r.integers(0, len(family), size=args.n_eval)
+        sizes = np.array([len(family[i]["types"]) for i in cls])
         mask = (np.arange(max_n)[None, :] < sizes[:, None]).astype(np.float32)
         prior = trainer.sample_prior(r, mask)
-        final = trainer.generate(params, jax.random.PRNGKey(seed), prior)
+        # rep sampling at generation (reference fm.py:1006-1014 samples
+        # reps from the RDM; the empirical class distribution is the
+        # idealized rep sampler for this family)
+        rep = (jnp.asarray(class_embs[cls]) if class_embs is not None
+               else None)
+        final = trainer.generate(params, jax.random.PRNGKey(seed), prior,
+                                 rep=rep)
         coords = jax.device_get(final["coords"]) * coord_std
         # x1 never contains the mask token; argmax over the real classes
         # (the trained model leaves ~0 mass on mask at t~1, this only
@@ -330,6 +362,7 @@ def main(argv=None):
                    "self_cond": not args.no_self_cond,
                    "coord_std": coord_std,
                    "categorical_strategy": args.categorical_strategy,
+                   "rep_condition": args.rep_condition,
                    "family": args.family,
                    "n_classes": len(family),
                    "n_eval": args.n_eval},

@@ -116,6 +116,19 @@ def main(argv=None):
               orders[b, :sizes[b], :sizes[b]], charges[b, :sizes[b]])
              for b in range(args.n_eval)]
     m = GraphMoleculeMetrics().evaluate(gmols)
+    # per-size validity: the coherence ceiling predicts failure rate
+    # grows with atom count (more joint constraints, more blending
+    # ambiguity mid-trajectory)
+    by_n = {}
+    for g, n in zip(gmols, sizes):
+        ok = GraphMoleculeMetrics().evaluate([g])["validity"]
+        lo = (int(n) // 4) * 4
+        k = f"{lo}-{lo + 3}"
+        a, b = by_n.get(k, (0, 0))
+        by_n[k] = (a + ok, b + 1)
+    print("validity by n_atoms: "
+          + " ".join(f"{k}:{a / b:.2f}(n={b})"
+                     for k, (a, b) in sorted(by_n.items())), flush=True)
     print(f"strategy={args.strategy} steps={args.steps} which={args.which} "
           f"cat_noise={args.cat_noise} coord_noise={args.coord_noise} "
           f"pred_temp={args.pred_temp} final={args.final} "
