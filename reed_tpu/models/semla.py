@@ -394,7 +394,11 @@ class RepConditioner(nn.Module):
             k = k.reshape(k.shape[:2] + (self.n_heads, hd))
             v = v.reshape(v.shape[:2] + (self.n_heads, hd))
             logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(hd)
-            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            # mask padded KEYS: their zeroed features give logits of 0,
+            # which would otherwise draw e^0 weight from every query
+            pad = jnp.where(node_mask1d > 0, 0.0,
+                            -1e9)[:, None, None, :]
+            attn = jax.nn.softmax(logits.astype(jnp.float32) + pad, axis=-1)
             o = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
             o = nn.Dense(d, dtype=self.dtype, name="attn_out")(
                 o.reshape(o.shape[:2] + (d,)))
@@ -437,9 +441,18 @@ class EquiMessagePassingLayer(nn.Module):
             d_message_out += self.d_edge_out
 
         if rep is not None and self.cond_type != "none":
+            # conditioning pathway pinned f32 like the coordinate-valued
+            # tensors: it is a trivial fraction of step compute. NOTE this
+            # pin alone does NOT recover bf16 convergence of the
+            # rep-conditioned chains run (loss still plateaus at 0.35 vs
+            # f32's 0.14, i.e. at the UNCONDITIONAL solution) — the rep
+            # signal is lost in the bf16 feature stream downstream, not
+            # inside this block
             node_feats = RepConditioner(
-                self.cond_type, d_rep=self.d_rep, dtype=self.dtype,
-                name="rep_cond")(node_feats, rep, node_mask)
+                self.cond_type, d_rep=self.d_rep, dtype=jnp.float32,
+                name="rep_cond")(node_feats.astype(jnp.float32),
+                                 rep.astype(jnp.float32),
+                                 node_mask).astype(self.dtype)
 
         c_up, n_up = NodeFeedForward(
             self.n_coord_sets, d_ff=self.d_model * 4,
