@@ -75,7 +75,10 @@ class SemlaTrainConfig:
         coord_noise_std=0.2)
     integrator: IntegratorConfig = IntegratorConfig(cat_noise_level=1.0)
     batch_size: int = 64
-    optim: OptimConfig = OptimConfig(lr=3e-4, schedule="constant")
+    # grad_clip 1.0 = reference parity (semlaflow/train.py:50
+    # DEFAULT_GRADIENT_CLIP_VAL); the convergence tooling already clipped
+    optim: OptimConfig = OptimConfig(lr=3e-4, schedule="constant",
+                                     grad_clip=1.0)
     curriculum: CurriculumConfig = CurriculumConfig(proj_coeff=0.2,
                                                     diffusion_warmup_steps=0)
     mesh: MeshConfig = MeshConfig()

@@ -47,6 +47,18 @@ def main(argv=None):
     ap.add_argument("--n-eval", type=int, default=256)
     ap.add_argument("--family", default="chains",
                     choices=("chains", "templates"))
+    ap.add_argument("--rep-condition", action="store_true",
+                    help="condition the EGNN on a per-class representation "
+                         "(GeoRCG's own two-stage design: the reference "
+                         "trains EDM conditioned on frozen-encoder reps and "
+                         "samples reps from the RDM, "
+                         "molecule/models/__init__.py get_model rep path; "
+                         "here the rep sampler is the exact empirical class "
+                         "distribution. On the chains family the rep "
+                         "resolves WHICH molecule to build — mid-t "
+                         "posteriors over 1,089 templates are otherwise "
+                         "mixed; see docs/semla_chains_coherence.md)")
+    ap.add_argument("--d-rep", type=int, default=64)
     ap.add_argument("--out", default="CONVERGENCE_EDM.json")
     ap.add_argument("--save-params", default="",
                     help="pickle final params/ema here for offline probes")
@@ -95,7 +107,8 @@ def main(argv=None):
         max_nodes=max_n,
         hidden_nf=args.hidden,
         n_layers=args.layers,
-        rep_nf=None,                      # unconditional
+        rep_nf=args.d_rep if args.rep_condition else None,
+        rep_dropout_prob=0.0,             # idealized rep sampler, no CFG
         edm=EDMConfig(timesteps=args.timesteps),
         batch_size=args.batch_size,
         optim=OptimConfig(lr=args.lr, grad_clip=1.0,
@@ -109,6 +122,13 @@ def main(argv=None):
     trainer = MoleculeEDMTrainer(cfg)
     state = trainer.init_state()
 
+    # deterministic per-class embedding table = the exact rep distribution
+    # (mirrors tools/convergence_semla.py: the idealized RDM for this family)
+    class_embs = (np.random.default_rng(7)
+                  .standard_normal((len(family), args.d_rep))
+                  .astype(np.float32) / np.sqrt(args.d_rep)
+                  if args.rep_condition else None)
+
     def host_batch(r: np.random.Generator):
         raw = template_molecule_batch(r, args.batch_size, max_n,
                                       templates=family)
@@ -117,29 +137,36 @@ def main(argv=None):
         edge_mask = mask[:, :, None, :] * mask[:, None, :, :] * (1.0 - diag)
         one_hot = np.eye(TEMPLATE_NUM_TYPES, dtype=np.float32)[
             raw["types"]] * mask
-        return {
+        out = {
             "positions": jnp.asarray(raw["coords"]),
             "one_hot": jnp.asarray(one_hot),
             "charges": jnp.asarray(raw["charges"][..., None] * mask),
             "node_mask": jnp.asarray(mask),
             "edge_mask": jnp.asarray(edge_mask),
         }
+        if class_embs is not None:
+            out["rep"] = jnp.asarray(class_embs[raw["template_idx"]])
+        return out
 
     metrics_eval = MoleculeMetrics()
 
     def score(params, seed: int):
         """Sample n_eval molecules (template-matched sizes) and score."""
         r = np.random.default_rng(20_000 + seed)
-        sizes = np.array([len(family[i]["types"])
-                          for i in r.integers(0, len(family),
-                                              size=args.n_eval)])
+        cls = r.integers(0, len(family), size=args.n_eval)
+        sizes = np.array([len(family[i]["types"]) for i in cls])
         mask = (np.arange(max_n)[None, :] < sizes[:, None]
                 ).astype(np.float32)[..., None]
         diag = np.eye(max_n, dtype=np.float32)[None, :, :, None]
         edge_mask = mask[:, :, None, :] * mask[:, None, :, :] * (1.0 - diag)
+        # rep sampling at generation: the empirical class distribution is
+        # the idealized rep sampler for this family (GeoRCG samples reps
+        # from the trained RDM instead)
+        rep = (jnp.asarray(class_embs[cls]) if class_embs is not None
+               else None)
         x, h_cat, _ = trainer.sample(
             params, jax.random.PRNGKey(seed), args.n_eval,
-            jnp.asarray(mask), jnp.asarray(edge_mask))
+            jnp.asarray(mask), jnp.asarray(edge_mask), rep=rep)
         x = jax.device_get(x)
         types = np.argmax(jax.device_get(h_cat), axis=-1)
         mols = [(x[b, :sizes[b]], types[b, :sizes[b]])
@@ -199,6 +226,7 @@ def main(argv=None):
                    "layers": args.layers, "lr": args.lr,
                    "schedule": args.schedule, "warmup": args.warmup,
                    "timesteps": args.timesteps, "family": args.family,
+                   "rep_condition": args.rep_condition,
                    "n_classes": len(family), "n_eval": args.n_eval},
         "loss_curve": losses,
         "command": "python tools/convergence_edm.py"
