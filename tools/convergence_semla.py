@@ -125,6 +125,15 @@ def main(argv=None):
                          "recipe's setting (molecule/README.md:38 does not "
                          "pass --self_condition; train.py:503 defaults it "
                          "False)")
+    ap.add_argument("--f32-warmup", type=int, default=0,
+                    help="run the first N steps at float32 compute, then "
+                         "hand the state to the --dtype trainer. Probes the "
+                         "bf16 early-training trap on the chains family: "
+                         "bf16-from-scratch plateaus AT the unconditional "
+                         "solution (loss 0.35 vs f32 0.13) — the gradient "
+                         "that opens the rep-conditioning gates is below "
+                         "the bf16 activation-rounding noise floor, so the "
+                         "conditioning pathway never engages")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args(argv)
@@ -238,6 +247,12 @@ def main(argv=None):
     trainer = SemlaTrainer(cfg)
     state = trainer.init_state()
 
+    warm_trainer = None
+    if args.f32_warmup and args.dtype != "float32":
+        import dataclasses
+        warm_trainer = SemlaTrainer(
+            dataclasses.replace(cfg, compute_dtype="float32"))
+
     def host_batch(r: np.random.Generator):
         raw = template_molecule_batch(r, args.batch_size, max_n,
                                       templates=family)
@@ -319,7 +334,9 @@ def main(argv=None):
                     for i in range(args.batch_pool)]
         batch = (pool[step % args.batch_pool] if pool
                  else host_batch(np.random.default_rng(step)))
-        state, metrics = trainer.train_step(state, batch, rng)
+        tr = (warm_trainer if (warm_trainer is not None
+                               and step < args.f32_warmup) else trainer)
+        state, metrics = tr.train_step(state, batch, rng)
         if step % 200 == 0 or step == args.steps - 1:
             loss = float(jax.device_get(metrics["denoising_loss"]))
             cl = float(jax.device_get(metrics["coord_loss"]))
@@ -356,7 +373,8 @@ def main(argv=None):
                    "lr": args.lr, "schedule": args.schedule,
                    "warmup": args.warmup,
                    "integrator_steps": args.integrator_steps,
-                   "dtype": args.dtype, "coord_skip": args.coord_skip,
+                   "dtype": args.dtype, "f32_warmup": args.f32_warmup,
+                   "coord_skip": args.coord_skip,
                    "train_coord_noise": args.train_coord_noise,
                    "cat_noise_level": args.cat_noise_level,
                    "self_cond": not args.no_self_cond,
