@@ -229,8 +229,10 @@ def main(only=None):
                "edm": bench_edm, "multiflow": bench_multiflow,
                "rdm": bench_rdm}
     picked = [benches[k] for k in only] if only else list(benches.values())
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DOMAINS.json")
     results = []
-    for fn in picked:
+    for i, fn in enumerate(picked):
         try:
             r = fn()
         except Exception as e:  # report, keep going
@@ -238,13 +240,17 @@ def main(only=None):
                  f"{type(e).__name__}: {str(e)[:120]}"}
         results.append(r)
         print(json.dumps(r), flush=True)
-    if not only:  # subset runs are exploratory — don't clobber the record
-        out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_DOMAINS.json")
-        with open(out, "w") as f:
-            json.dump({"device": jax.devices()[0].device_kind,
+        if not only:  # subset runs are exploratory — don't clobber the record
+            # write after EVERY domain: a multi-domain run through the axon
+            # tunnel can outlive its timeout budget (degraded-tunnel days hit
+            # 20+ min per compile), and a partial refresh beats none
+            payload = {"device": jax.devices()[0].device_kind,
                        "peak_tflops": _peak_tflops(),
-                       "results": results}, f, indent=2)
+                       "results": results}
+            if i + 1 < len(picked):
+                payload["partial"] = True
+            with open(out, "w") as f:
+                json.dump(payload, f, indent=2)
     return results
 
 

@@ -21,9 +21,12 @@ def make_trainer(domain: str):
 
     if domain == "protein":
         from reed_tpu.train.protein import ProteinTrainConfig, ProteinTrainer
+        # mirror bench_domains.bench_protein exactly (incl. rng_impl) so the
+        # trace profiles the program the committed number measures — and so
+        # the compile cache is warm right after a bench run
         return ProteinTrainer(ProteinTrainConfig(
             batch_size=64, max_len=256, compute_dtype="bfloat16",
-            mesh=MeshConfig(data=1)))
+            rng_impl="rbg", mesh=MeshConfig(data=1)))
     if domain == "edm":
         from reed_tpu.train.molecule_edm import (MoleculeEDMConfig,
                                                  MoleculeEDMTrainer)
